@@ -1,0 +1,140 @@
+"""YAML run configuration.
+
+Mirrors the key set consumed by ``KinectFusionReconstruction::SetYamlParameters``
+(``KinectFusionReconstruction.cpp:9-73``) and the L5 driver
+(``Experiments/test_xkinect_fusion/main.cpp:26-33``); canonical values in
+``Experiments/test_xkinect_fusion/configs/ICL_traj2.yaml``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass
+class SlamConfig:
+    # dataset (ICL_traj2.yaml:1-9)
+    dataset_format: str = "synthetic"
+    dataset_dir: str = ""
+    output_dir: str = "output/"
+    start_frame: int = 0
+    end_frame: int = 300
+    frame_step: int = 1
+    factor: int = 1
+    is_flip: bool = False
+
+    # output toggles (ICL_traj2.yaml:11-14)
+    log_slam_pose: bool = True
+    log_gt_pose: bool = True
+    draw_pcd: bool = False
+
+    # fusion knobs (ICL_traj2.yaml:16-18)
+    bi_interpolate_threshold: float = 0.0
+    trunc_logistic_k: float = 0.0
+    use_gt_pose: bool = False
+
+    # TSDF volume (ICL_traj2.yaml:21-27)
+    tsdf_size: Tuple[int, int, int] = (256, 256, 256)
+    voxel_size: float = 0.03
+    max_integration_weight: int = 100
+    thres_range: float = 3.0
+
+    # world->volume placement (ICL_traj2.yaml:28-34)
+    init_xyz: Tuple[float, float, float] = (3.2, 3.2, 3.2)
+    init_rpy_deg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # camera (ICL_traj2.yaml:35-41)
+    depth_width: int = 640
+    depth_height: int = 480
+    fx: float = 481.20
+    fy: float = -480.00
+    cx: float = 319.50
+    cy: float = 239.50
+
+    # ICP (ICL_traj2.yaml:43-46; iterations {5,4,3} hard-coded in
+    # KinectFusionReconstruction.cpp:54)
+    num_levels: int = 3
+    icp_iterations: Tuple[int, ...] = (5, 4, 3)
+    dist_thres: float = 0.10
+    angle_thres_deg: float = 15.0
+
+    @property
+    def trunc_dist(self) -> float:
+        # TsdfVolume.cpp:35-38: max(thres_range * voxel, 2.1 * voxel)
+        return max(self.thres_range * self.voxel_size, 2.1 * self.voxel_size)
+
+    @property
+    def angle_thres_sine(self) -> float:
+        # stored as sin(angle) (KinectFusionReconstruction.cpp:58)
+        return math.sin(math.radians(self.angle_thres_deg))
+
+    @property
+    def intrinsics(self):
+        from ..geometry.intrinsics import Intrinsics
+
+        return Intrinsics(self.fx, self.fy, self.cx, self.cy, self.depth_width, self.depth_height)
+
+    @property
+    def world2volume(self):
+        """World->volume transform from init offsets/rotation
+        (KinectFusionReconstruction.cpp:26-38)."""
+        import numpy as np
+
+        rx, ry, rz = (math.radians(a) for a in self.init_rpy_deg)
+
+        def rot(axis, th):
+            c, s = math.cos(th), math.sin(th)
+            m = np.eye(3)
+            if axis == 0:
+                m[1:, 1:] = [[c, -s], [s, c]]
+            elif axis == 1:
+                m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+            else:
+                m[:2, :2] = [[c, -s], [s, c]]
+            return m
+
+        T = np.eye(4)
+        T[:3, :3] = rot(0, rx) @ rot(1, ry) @ rot(2, rz)
+        T[:3, 3] = self.init_xyz
+        return T
+
+
+_KEY_MAP = {
+    "tsdf_size_x": ("tsdf_size", 0),
+    "tsdf_size_y": ("tsdf_size", 1),
+    "tsdf_size_z": ("tsdf_size", 2),
+    "tsdf_voxel_size": "voxel_size",
+    "init_x": ("init_xyz", 0),
+    "init_y": ("init_xyz", 1),
+    "init_z": ("init_xyz", 2),
+    "r_x": ("init_rpy_deg", 0),
+    "r_y": ("init_rpy_deg", 1),
+    "r_z": ("init_rpy_deg", 2),
+    "distThres": "dist_thres",
+    "angleThres": "angle_thres_deg",
+    "biInterpolate_threshold": "bi_interpolate_threshold",
+    "flag_use_gtPose": "use_gt_pose",
+}
+
+
+def load_config(path: str) -> SlamConfig:
+    """Load a reference-style YAML config (same keys as ICL_traj2.yaml)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    cfg = SlamConfig()
+    tuples: dict[str, list] = {}
+    for key, val in raw.items():
+        tgt = _KEY_MAP.get(key, key)
+        if isinstance(tgt, tuple):
+            name, idx = tgt
+            tuples.setdefault(name, list(getattr(cfg, name)))[idx] = val
+        elif hasattr(cfg, tgt):
+            setattr(cfg, tgt, type(getattr(cfg, tgt))(val))
+    for name, vals in tuples.items():
+        setattr(cfg, name, tuple(vals))
+    cfg.icp_iterations = tuple((5, 4, 3)[: cfg.num_levels])
+    return cfg
