@@ -1,0 +1,234 @@
+"""Surface extraction from the TSDF volume: points, normals, mesh.
+
+TPU-native re-design of ``XKinectFusion/src/ExtractPointCloud.cu``. The
+reference compacts zero-crossing points with warp ballot/scan plus a global
+atomic cursor (``extractKernel``, ExtractPointCloud.cu:25-210); here the
+stream compaction is a mask + ``jnp.cumsum`` scatter into a fixed-capacity
+buffer — deterministic, race-free, and XLA-friendly (SURVEY.md §2.E row 5).
+
+Mesh extraction: the reference carries a classic 256-case marching-cubes
+kernel (``extractMeshKernal``, ExtractPointCloud.cu:364-715) that is declared
+but never invoked by the public API (``ExportPointCloud`` uses points +
+normals only, KinectFusionReconstruction.cpp:334-372). We provide the same
+capability as *marching tetrahedra* (6 tets/cell, 3-bit case index): no
+256x16 divergent table lookups, a uniform vectorizable code path — the
+TPU-native choice.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..csfd.single import CSFD, lift
+from .fusion import VolumeConfig, VolumeState
+from .sampling import trilinear_tsdf
+
+
+class PointCloud(NamedTuple):
+    points: jnp.ndarray  # (capacity, 3) f32, valid entries first
+    normals: jnp.ndarray  # (capacity, 3) f32
+    count: jnp.ndarray  # int32 scalar
+
+
+def _edge_crossings(value, weight, axis, voxel_size):
+    """Zero-crossing detection + linear interpolation along one +axis edge.
+
+    Mirrors extractKernel's per-axis checks: both voxels must be observed
+    (weight > 0) and non-saturated, with a strict sign change.
+    """
+    F0 = value
+    W0 = weight
+    F1 = jnp.roll(value, -1, axis)
+    W1 = jnp.roll(weight, -1, axis)
+    # exclude wrap-around at the far face
+    idx = jnp.arange(value.shape[axis])
+    last = (idx == value.shape[axis] - 1).reshape(
+        [-1 if a == axis else 1 for a in range(3)]
+    )
+    observed = (W0 > 0) & (W1 > 0) & (jnp.abs(F0) < 1.0) & (jnp.abs(F1) < 1.0)
+    crossing = observed & ~last & (jnp.sign(F0) != jnp.sign(F1)) & (F0 != 0)
+    denom = jnp.where(F0 - F1 == 0.0, 1.0, F0 - F1)
+    frac = jnp.clip(F0 / denom, 0.0, 1.0)
+    return crossing, frac
+
+
+def extract_points(
+    vol: VolumeState, cfg: VolumeConfig, capacity: int = 500_000, x_offset: int = 0
+) -> PointCloud:
+    """Zero-crossing surface points with trilinear central-difference normals
+    (``extractPoints`` + ``extractNormals``, ExtractPointCloud.cu:188-362).
+
+    Returns a fixed-capacity buffer (the reference likewise caps output via a
+    user buffer, DEFAULT_CLOUD_BUFFER_SIZE, Internal.h:40) with ``count``
+    valid leading entries. Points are in volume metric coordinates.
+    """
+    X, Y, Z = vol.value.shape
+    vs = cfg.voxel_size
+    cx = (jnp.arange(X, dtype=jnp.float32) + 0.5)[:, None, None] + x_offset
+    cy = (jnp.arange(Y, dtype=jnp.float32) + 0.5)[None, :, None]
+    cz = (jnp.arange(Z, dtype=jnp.float32) + 0.5)[None, None, :]
+
+    pts_list = []
+    mask_list = []
+    for axis in range(3):
+        crossing, frac = _edge_crossings(vol.value, vol.weight, axis, vs)
+        px = (cx + jnp.where(axis == 0, frac, 0.0)) * vs
+        py = (cy + jnp.where(axis == 1, frac, 0.0)) * vs
+        pz = (cz + jnp.where(axis == 2, frac, 0.0)) * vs
+        pts = jnp.stack(
+            [jnp.broadcast_to(px, (X, Y, Z)), jnp.broadcast_to(py, (X, Y, Z)),
+             jnp.broadcast_to(pz, (X, Y, Z))], -1
+        ).reshape(-1, 3)
+        pts_list.append(pts)
+        mask_list.append(crossing.reshape(-1))
+
+    all_pts = jnp.concatenate(pts_list)
+    all_mask = jnp.concatenate(mask_list)
+
+    # cumsum compaction into the fixed buffer
+    pos = jnp.cumsum(all_mask.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity)
+    dest = jnp.where(all_mask & (pos < capacity), pos, capacity)  # overflow row
+    buf = jnp.zeros((capacity + 1, 3), jnp.float32).at[dest].set(all_pts)
+    points = buf[:capacity]
+
+    # normals: central differences of the trilinear TSDF at each point
+    # (extractNormalsKernel, ExtractPointCloud.cu:213-362)
+    half = 0.5 * vs
+    px, py, pz = (points[:, i] - x_offset * vs * (i == 0) for i in range(3))
+
+    def tsdf_at(ax_shift, sign):
+        q = [px, py, pz]
+        q[ax_shift] = q[ax_shift] + sign * half
+        out = trilinear_tsdf(
+            vol.value, vol.grad, lift(q[0]), lift(q[1]), lift(q[2]), vs
+        )
+        return out.v
+
+    n = jnp.stack(
+        [tsdf_at(0, 1) - tsdf_at(0, -1),
+         tsdf_at(1, 1) - tsdf_at(1, -1),
+         tsdf_at(2, 1) - tsdf_at(2, -1)], -1
+    )
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+    normals = jnp.where(norm > 0, n / jnp.maximum(norm, 1e-20), 0.0)
+    normals = jnp.nan_to_num(normals)
+    return PointCloud(points=points, normals=normals, count=count)
+
+
+# ---------------------------------------------------------------- mesh (MT)
+# Tetrahedron decomposition of a cube (6 tets, consistent orientation);
+# corner ids are cube-corner bit codes (x | y<<1 | z<<2).
+_TETS = jnp.array(
+    [
+        [0, 5, 1, 6],
+        [0, 1, 3, 6],
+        [0, 3, 2, 6],
+        [0, 2, 7, 6],  # corner 7 == (1,1,1)? see mapping below
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+    ],
+    jnp.int32,
+)
+# cube corner offsets indexed by corner id
+_CORNERS = jnp.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
+    jnp.int32,
+)
+
+
+class Mesh(NamedTuple):
+    vertices: jnp.ndarray  # (capacity, 3, 3): triangle vertex positions
+    count: jnp.ndarray  # number of valid triangles
+
+
+def extract_mesh(
+    vol: VolumeState, cfg: VolumeConfig, capacity: int = 1_000_000
+) -> Mesh:
+    """Isosurface triangles by marching tetrahedra over observed cells."""
+    X, Y, Z = vol.value.shape
+    vs = cfg.voxel_size
+
+    # corner fields for each cell (X-1, Y-1, Z-1)
+    def corner(c):
+        dx, dy, dz = int(_CORNERS[c, 0]), int(_CORNERS[c, 1]), int(_CORNERS[c, 2])
+        return (
+            vol.value[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+            vol.weight[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+        )
+
+    Fs, Ws = zip(*[corner(c) for c in range(8)])
+    F = jnp.stack(Fs, -1).reshape(-1, 8)  # (cells, 8)
+    W = jnp.stack(Ws, -1).reshape(-1, 8)
+    observed = jnp.all((W > 0) & (jnp.abs(F) < 1.0), axis=-1)
+
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    cix = jnp.arange(nx * ny * nz, dtype=jnp.int32)
+    base = jnp.stack([cix // (ny * nz), (cix // nz) % ny, cix % nz], -1)  # (cells,3)
+
+    # per-code triangle tables over the 6 tet edges
+    # edge order: 0:(0,1) 1:(0,2) 2:(0,3) 3:(1,2) 4:(1,3) 5:(2,3)
+    _E = {(0, 1): 0, (0, 2): 1, (0, 3): 2, (1, 2): 3, (1, 3): 4, (2, 3): 5}
+    _CASES = {
+        1: [[(0, 1), (0, 2), (0, 3)]],
+        2: [[(0, 1), (1, 3), (1, 2)]],
+        3: [[(0, 2), (0, 3), (1, 3)], [(0, 2), (1, 3), (1, 2)]],
+        4: [[(0, 2), (1, 2), (2, 3)]],
+        5: [[(0, 1), (1, 2), (2, 3)], [(0, 1), (2, 3), (0, 3)]],
+        6: [[(0, 1), (0, 2), (2, 3)], [(0, 1), (2, 3), (1, 3)]],
+        7: [[(0, 3), (1, 3), (2, 3)]],
+    }
+    tri1 = [[0, 0, 0] for _ in range(16)]
+    tri2 = [[0, 0, 0] for _ in range(16)]
+    n_tris = [0] * 16
+    for lo, tris_ in _CASES.items():
+        for cc in (lo, 15 - lo):
+            tri1[cc] = [_E[e] for e in tris_[0]]
+            n_tris[cc] = len(tris_)
+            if len(tris_) > 1:
+                tri2[cc] = [_E[e] for e in tris_[1]]
+    tri1_t = jnp.array(tri1, jnp.int32)
+    tri2_t = jnp.array(tri2, jnp.int32)
+    ntris_t = jnp.array(n_tris, jnp.int32)
+    edge_ends = jnp.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], jnp.int32)
+
+    tris_all = []
+    mask_all = []
+    for t in range(6):
+        ids = _TETS[t]
+        f = F[:, ids]  # (cells, 4)
+        inside = f < 0.0
+        code = (
+            inside[:, 0].astype(jnp.int32)
+            + 2 * inside[:, 1].astype(jnp.int32)
+            + 4 * inside[:, 2].astype(jnp.int32)
+            + 8 * inside[:, 3].astype(jnp.int32)
+        )
+        corners_pos = ((base[:, None, :] + _CORNERS[ids]).astype(jnp.float32) + 0.5) * vs
+
+        # interpolated points on all 6 tet edges: (cells, 6, 3)
+        fi = f[:, edge_ends[:, 0]]
+        fj = f[:, edge_ends[:, 1]]
+        denom = jnp.where(fi - fj == 0.0, 1.0, fi - fj)
+        frac = jnp.clip(fi / denom, 0.0, 1.0)[..., None]
+        pi = corners_pos[:, edge_ends[:, 0]]
+        pj = corners_pos[:, edge_ends[:, 1]]
+        e_pts = pi * (1 - frac) + pj * frac  # (cells, 6, 3)
+
+        for tbl, which in ((tri1_t, 1), (tri2_t, 2)):
+            edge_idx = tbl[code]  # (cells, 3)
+            verts = jnp.take_along_axis(e_pts, edge_idx[..., None], axis=1)
+            m = observed & (ntris_t[code] >= which)
+            tris_all.append(verts)
+            mask_all.append(m)
+
+    tris = jnp.concatenate(tris_all)  # (M, 3, 3)
+    mask = jnp.concatenate(mask_all)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity)
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.zeros((capacity + 1, 3, 3), jnp.float32).at[dest].set(tris)
+    return Mesh(vertices=buf[:capacity], count=count)

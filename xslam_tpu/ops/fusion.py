@@ -48,8 +48,12 @@ class VolumeState(NamedTuple):
 def create_volume(cfg: VolumeConfig) -> VolumeState:
     """Zero-initialized volume (``initializeVolume``, TsdfFusion.cu:4-43)."""
     shape = cfg.resolution
-    z = jnp.zeros(shape, jnp.float32)
-    return VolumeState(value=z, grad=z, weight=z)
+    # three distinct buffers (donation requires unaliased arrays)
+    return VolumeState(
+        value=jnp.zeros(shape, jnp.float32),
+        grad=jnp.zeros(shape, jnp.float32),
+        weight=jnp.zeros(shape, jnp.float32),
+    )
 
 
 def tsdf_as_csfd(vol: VolumeState) -> CSFD:

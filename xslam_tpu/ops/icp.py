@@ -1,0 +1,166 @@
+"""Projective point-to-plane ICP: correspondence search + normal equations.
+
+TPU-native re-design of ``XKinectFusion/src/ICP.cu``. The reference builds,
+per pixel, the dual row ``[cross(s,n), n | n·(d−s)]`` and reduces the 27
+upper-triangular entries of the 6x7 system with a two-stage shared-memory
+tree (``combinedKernel`` -> ``TransformEstimatorKernel``, ICP.cu:246-429),
+in *double-precision* complex. Here the same rows form a dual (N, 6) Jacobian
+and the reduction is three f32 MXU matmuls (``A = JᵀJ`` in dual arithmetic,
+see :func:`xslam_tpu.csfd.single.matmul`) with a block-pairwise accumulation
+that keeps f32 error at f64-like levels for this problem — made possible
+because our dual lanes carry O(f') derivatives, not the reference's h-scaled
+~1e-7 imaginary parts (which is why it needed f64).
+
+The 12 small device->host downloads per frame (ICP.cu:416-417) disappear:
+the 6x6 dual solve runs inside the same jit (``csfd.single.solve``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..csfd import vec3
+from ..csfd.single import CSFD, lift, solve
+from ..geometry.intrinsics import Intrinsics
+from .sampling import gather2d
+
+
+class IcpSystem(NamedTuple):
+    A: CSFD  # (6, 6) dual normal matrix
+    b: CSFD  # (6,) dual rhs
+    inlier_count: jnp.ndarray  # scalar
+
+
+def _gather_map(m: CSFD, iy, ix) -> CSFD:
+    """Gather a dual (3, H, W) map at integer pixel coords -> dual (3, ...)."""
+    vals = jnp.stack([gather2d(m.v[c], iy, ix, fill=jnp.nan) for c in range(3)])
+    grads = jnp.stack([gather2d(m.g[c], iy, ix, fill=0.0) for c in range(3)])
+    return CSFD(vals, grads)
+
+
+def build_system(
+    r_curr: CSFD,
+    t_curr: CSFD,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    r_prev_inv: CSFD,
+    t_prev: CSFD,
+    intr: Intrinsics,
+    vmap_g_prev: CSFD,
+    nmap_g_prev: CSFD,
+    dist_thres: float,
+    angle_thres: float,
+) -> IcpSystem:
+    """One ICP iteration's normal equations (``search_newton`` +
+    ``combinedKernel``, ICP.cu:196-281).
+
+    ``vmap_curr``/``nmap_curr`` are real (3, H, W) camera-space maps of the
+    current frame (their imaginary lanes are always zero in the reference
+    too); the previous-model maps are dual world-space maps from raycasting.
+    """
+    H, W = vmap_curr.shape[-2:]
+
+    ncurr = lift(nmap_curr)
+    vcurr = lift(vmap_curr)
+
+    vcurr_g = vec3.matvec(r_curr, vcurr) + CSFD(
+        t_curr.v[:, None, None], t_curr.g[:, None, None]
+    )
+    diff = vcurr_g - CSFD(t_prev.v[:, None, None], t_prev.g[:, None, None])
+    vcurr_cp = vec3.matvec(r_prev_inv, diff)  # prev camera space
+
+    # projection on the value lane (ICP.cu:214-217)
+    px = vcurr_cp.v[0] * intr.fx / vcurr_cp.v[2] + intr.cx
+    py = vcurr_cp.v[1] * intr.fy / vcurr_cp.v[2] + intr.cy
+    ux = jnp.round(px).astype(jnp.int32)
+    uy = jnp.round(py).astype(jnp.int32)
+    in_img = (ux >= 0) & (uy >= 0) & (ux < W) & (uy < H) & (vcurr_cp.v[2] >= 0)
+
+    nprev_g = _gather_map(nmap_g_prev, uy, ux)
+    vprev_g = _gather_map(vmap_g_prev, uy, ux)
+
+    dist = vec3.norm(vprev_g - vcurr_g)
+    ncurr_g = vec3.matvec(r_curr, ncurr)
+    sine = vec3.norm(vec3.cross(ncurr_g, nprev_g))
+
+    valid = (
+        ~jnp.isnan(nmap_curr[0])
+        & in_img
+        & ~jnp.isnan(nprev_g.v[0])
+        & (dist.v <= dist_thres)
+        & (sine.v < angle_thres)
+    )
+
+    n = nprev_g
+    d = vprev_g
+    s = vcurr_g
+    row_rot = vec3.cross(s, n)  # (3, H, W) dual
+    rhs = vec3.dot(n, d - s)  # (H, W) dual
+
+    # mask invalid rows to zero (ICP.cu:260-261)
+    def mask3(x: CSFD) -> CSFD:
+        return CSFD(
+            jnp.where(valid[None], jnp.nan_to_num(x.v), 0.0),
+            jnp.where(valid[None], jnp.nan_to_num(x.g), 0.0),
+        )
+
+    def mask1(x: CSFD) -> CSFD:
+        return CSFD(
+            jnp.where(valid, jnp.nan_to_num(x.v), 0.0),
+            jnp.where(valid, jnp.nan_to_num(x.g), 0.0),
+        )
+
+    row_rot = mask3(row_rot)
+    row_n = mask3(n)
+    rhs = mask1(rhs)
+
+    # J: (N, 6), r: (N, 1) -> A = JᵀJ, b = Jᵀr as blocked dual matmuls
+    J = CSFD(
+        jnp.concatenate([row_rot.v, row_n.v]).reshape(6, -1).T,
+        jnp.concatenate([row_rot.g, row_n.g]).reshape(6, -1).T,
+    )
+    r = CSFD(rhs.v.reshape(-1, 1), rhs.g.reshape(-1, 1))
+
+    # block-pairwise accumulation: (B, n, 6) einsum partials then tree-sum,
+    # bounding f32 accumulation error (replaces the reference's f64 lanes)
+    N = J.v.shape[0]
+    n_blocks = max(1, N // 4096)
+    while N % n_blocks:
+        n_blocks -= 1
+    Jb = CSFD(
+        J.v.reshape(n_blocks, -1, 6), J.g.reshape(n_blocks, -1, 6)
+    )
+    rb = CSFD(r.v.reshape(n_blocks, -1, 1), r.g.reshape(n_blocks, -1, 1))
+
+    def bmm(a: CSFD, b: CSFD) -> CSFD:
+        f = lambda x, y: jnp.einsum("bni,bnj->bij", x, y, preferred_element_type=jnp.float32)
+        return CSFD(f(a.v, b.v), f(a.g, b.v) + f(a.v, b.g))
+
+    A = vec_sum(bmm(Jb, Jb))
+    b = vec_sum(bmm(Jb, rb))
+    b = CSFD(b.v[:, 0], b.g[:, 0])
+    return IcpSystem(A=A, b=b, inlier_count=jnp.sum(valid))
+
+
+def vec_sum(x: CSFD) -> CSFD:
+    return CSFD(jnp.sum(x.v, axis=0), jnp.sum(x.g, axis=0))
+
+
+def solve_increment(system: IcpSystem) -> Tuple[CSFD, jnp.ndarray]:
+    """Solve the 6x6 dual system with the reference's degeneracy guard
+    (|det| < 1e-15 or NaN -> fail, KinectFusionReconstruction.cpp:203-210).
+
+    Returns (x = [alpha beta gamma tx ty tz] dual, ok flag).
+    """
+    det = jnp.linalg.det(system.A.v)
+    ok = (jnp.abs(det) >= 1e-15) & ~jnp.isnan(det)
+    safe_A = CSFD(
+        jnp.where(ok, system.A.v, jnp.eye(6, dtype=jnp.float32)),
+        jnp.where(ok, system.A.g, 0.0),
+    )
+    safe_b = CSFD(jnp.where(ok, system.b.v, 0.0), jnp.where(ok, system.b.g, 0.0))
+    x = solve(safe_A, safe_b)
+    x_ok = ~jnp.any(jnp.isnan(x.v))
+    return CSFD(jnp.nan_to_num(x.v), jnp.nan_to_num(x.g)), ok & x_ok
