@@ -1,0 +1,63 @@
+"""Sharded (8-virtual-device CPU mesh) vs single-chip equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xslam_tpu.models.kinfu import XSlamEngine
+from xslam_tpu.parallel.engine import ShardedXSlamEngine
+from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+from tests.helpers import small_config, small_dataset
+
+
+@pytest.fixture(scope="module")
+def runs():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = small_config(end_frame=5)
+    ds = small_dataset(5, degrees_per_frame=0.5)
+
+    single = XSlamEngine(cfg)
+    s_state = single.init_state()
+    sharded = ShardedXSlamEngine(cfg, n_devices=8)
+    p_state = sharded.init_state()
+
+    for i in range(len(ds)):
+        d = ds.get_depth(i)
+        s_state, s_res = single.process_frame(s_state, d)
+        p_state, p_res = sharded.process_frame(p_state, d)
+        single.log_pose(s_res)
+        sharded.log_pose(p_res)
+    return single, s_state, sharded, p_state
+
+
+def test_sharded_volume_matches_single(runs):
+    single, s_state, sharded, p_state = runs
+    sv = np.asarray(s_state.volume.value)
+    pv = np.asarray(p_state.volume.value)
+    sw = np.asarray(s_state.volume.weight)
+    pw = np.asarray(p_state.volume.weight)
+    # weights must agree exactly; values bit-tolerant (different reduction
+    # orders across the pose chain)
+    assert (sw != pw).mean() < 1e-4
+    both = (sw > 0) & (pw > 0)
+    np.testing.assert_allclose(sv[both], pv[both], atol=5e-3)
+
+
+def test_sharded_poses_match_single(runs):
+    single, _, sharded, _ = runs
+    for ps, pp in zip(single.pose_log, sharded.pose_log):
+        np.testing.assert_allclose(ps, pp, atol=1e-3)
+
+
+def test_sharded_tracking_accuracy(runs):
+    _, _, sharded, _ = runs
+    ds = small_dataset(5, degrees_per_frame=0.5)
+    est = normalize_to_first(sharded.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(5)])
+    assert ate_rmse(est, gt) < 0.06
+
+
+def test_sharded_align_ok(runs):
+    _, _, _, p_state = runs
+    assert bool(p_state.last_align_ok)

@@ -59,8 +59,12 @@ def build_system(
     ``vmap_curr``/``nmap_curr`` are real (3, H, W) camera-space maps of the
     current frame (their imaginary lanes are always zero in the reference
     too); the previous-model maps are dual world-space maps from raycasting.
+
+    The projection bounds come from the *previous* maps: under row-sharded
+    multi-chip ICP the current maps are a row-slab while the projection
+    target stays the full image.
     """
-    H, W = vmap_curr.shape[-2:]
+    H, W = vmap_g_prev.v.shape[-2:]
 
     ncurr = lift(nmap_curr)
     vcurr = lift(vmap_curr)

@@ -3,121 +3,223 @@
 TPU-native re-design of ``XKinectFusion/src/RayCaster.cu``. The per-pixel
 while-march becomes a fixed-trip ``lax.fori_loop`` over march steps with
 per-pixel ``found``/``dead`` predication (all pixels step in lockstep; the
-march itself only gathers the *value* plane — the dual refinement runs once
-after the loop, so the expensive 8-tap dual trilinear interpolation
-(RayCaster.cu:100-141) happens O(1) times per pixel instead of per step).
+march only gathers the *value* plane — the expensive 8-tap dual trilinear
+refinement (RayCaster.cu:100-141) runs once per pixel after the loop, not
+per step).
 
 March parameters mirror the reference: step = 0.8 * trunc_dist
 (RayCaster.cu:350), fixed range [0.2, 5.0] m (RayCaster.cu:222-223), secant
 zero-crossing refinement ``Ts = t - step * Ft/(Ftdt - Ft)`` (RayCaster.cu:258-261),
-central-difference normals at +-half voxel (RayCaster.cu:272-297).
+central-difference normals at +-half voxel (RayCaster.cu:269-304).
+
+Sharded operation (multi-chip): the volume may be an X-slab (core plus halo
+rows) of a larger volume. ``ShardSpec`` carries the slab's global placement;
+a shard claims only zero-crossings whose current sample voxel lies in its
+core rows, so each global crossing/death event has exactly one owner and
+cross-shard reduction is a min over event times (see
+:mod:`xslam_tpu.parallel.sharded`). With the default spec this degenerates
+to the single-chip path.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..csfd import vec3
-from ..csfd.single import CSFD, lift, where
+from ..csfd.single import CSFD, lift
 from ..geometry.intrinsics import Intrinsics
 from .fusion import VolumeConfig, VolumeState
-from .sampling import gather3d, trilinear_tsdf
+from .sampling import gather3d
 
 RAY_MIN_M = 0.2
 RAY_MAX_M = 5.0
+INF_T = 1e9
 
 
-def _read_tsdf_value(value: jnp.ndarray, gx, gy, gz) -> jnp.ndarray:
-    """Nearest-voxel value read with the +1e-5 bias (RayCaster.cu:69-78)."""
-    return gather3d(value, gx, gy, gz) + 1e-5
+@dataclass(frozen=True)
+class ShardSpec:
+    """Global placement of a local X-slab: rows [x_base, x_base+local_x) of a
+    volume with x_total rows; the shard owns core rows
+    [core_start, core_end) (global indices)."""
+
+    x_base: int = 0
+    x_total: Optional[int] = None  # None -> local extent is the whole volume
+    core_start: int = 0
+    core_end: Optional[int] = None
 
 
-def raycast(
-    vol: VolumeState,
-    r_c2v: CSFD,
-    t_c2v: CSFD,
-    r_v2w: CSFD,
-    t_v2w: CSFD,
-    intr: Intrinsics,
-    cfg: VolumeConfig,
-) -> Tuple[CSFD, CSFD]:
-    """Render dual (3, H, W) vertex and normal maps in world coordinates.
+class RaycastHit(NamedTuple):
+    """Per-pixel march outcome prior to refinement (shard-combinable)."""
 
-    ``r_c2v``/``t_c2v``: camera->volume pose (dual); ``r_v2w``/``t_v2w``:
-    volume->world (dual). NaN value lanes mark missed rays, matching the
-    qnan sentinels the downstream ICP checks (ICP.cu:203, 223).
-    """
+    t_found: jnp.ndarray  # (H, W) first-crossing march time, INF_T if none
+    t_dead: jnp.ndarray  # (H, W) first death (neg->pos or volume exit) time
+
+
+def _resolve(spec: ShardSpec, local_shape) -> Tuple[int, int, int, int]:
+    x_total = spec.x_total if spec.x_total is not None else local_shape[0]
+    core_end = spec.core_end if spec.core_end is not None else x_total
+    return spec.x_base, x_total, spec.core_start, core_end
+
+
+def trilinear_tsdf_shard(
+    value: jnp.ndarray,
+    grad: jnp.ndarray,
+    px: CSFD,
+    py: CSFD,
+    pz: CSFD,
+    voxel_size: float,
+    spec: ShardSpec = ShardSpec(),
+) -> CSFD:
+    """Dual trilinear TSDF interpolation at metric points (global coords),
+    reading from a local slab. Out-of-(global)-bounds -> NaN value.
+
+    Same cell-selection rule as the reference (shift base cell when the
+    point is below the voxel centre, RayCaster.cu:117-122) with the +1e-5
+    bias of ``readTsdf`` (RayCaster.cu:77)."""
+    Xl, Y, Z = value.shape
+    x_base, x_total, _, _ = _resolve(spec, value.shape)
+    inv_vs = 1.0 / voxel_size
+
+    gx = jnp.floor(px.v * inv_vs).astype(jnp.int32)
+    gy = jnp.floor(py.v * inv_vs).astype(jnp.int32)
+    gz = jnp.floor(pz.v * inv_vs).astype(jnp.int32)
+    ok = (
+        (gx > 0) & (gx < x_total - 1) & (gy > 0) & (gy < Y - 1) & (gz > 0) & (gz < Z - 1)
+    )
+
+    gx = gx - (px.v < (gx.astype(jnp.float32) + 0.5) * voxel_size)
+    gy = gy - (py.v < (gy.astype(jnp.float32) + 0.5) * voxel_size)
+    gz = gz - (pz.v < (gz.astype(jnp.float32) + 0.5) * voxel_size)
+
+    a0 = px * inv_vs - (gx.astype(jnp.float32) + 0.5)
+    b0 = py * inv_vs - (gy.astype(jnp.float32) + 0.5)
+    c0 = pz * inv_vs - (gz.astype(jnp.float32) + 0.5)
+    one = lift(1.0, like=a0)
+    a1, b1, c1 = one - a0, one - b0, one - c0
+
+    lx = gx - x_base
+
+    def tap(dx, dy, dz) -> CSFD:
+        ix, iy, iz = lx + dx, gy + dy, gz + dz
+        return CSFD(gather3d(value, ix, iy, iz) + 1e-5, gather3d(grad, ix, iy, iz))
+
+    res = (
+        tap(0, 0, 0) * (a1 * b1 * c1)
+        + tap(0, 0, 1) * (a1 * b1 * c0)
+        + tap(0, 1, 0) * (a1 * b0 * c1)
+        + tap(0, 1, 1) * (a1 * b0 * c0)
+        + tap(1, 0, 0) * (a0 * b1 * c1)
+        + tap(1, 0, 1) * (a0 * b1 * c0)
+        + tap(1, 1, 0) * (a0 * b0 * c1)
+        + tap(1, 1, 1) * (a0 * b0 * c0)
+    )
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok, res.v, nan), jnp.where(ok, res.g, 0.0))
+
+
+def _camera_rays(r_c2v: CSFD, t_c2v: CSFD, intr: Intrinsics) -> Tuple[CSFD, CSFD]:
     H, W = intr.height, intr.width
-    X, Y, Z = vol.value.shape
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    rx = jnp.broadcast_to((u - intr.cx) / intr.fx, (H, W))
+    ry = jnp.broadcast_to((v - intr.cy) / intr.fy, (H, W))
+    ray_next_cam = vec3.vec3(lift(rx), lift(ry), lift(jnp.ones((H, W), jnp.float32)))
+    ray_dir = vec3.normalized(vec3.matvec(r_c2v, ray_next_cam))
+    dir_v = jnp.where(ray_dir.v == 0.0, 1e-15, ray_dir.v)  # RayCaster.cu:211-213
+    return CSFD(dir_v, ray_dir.g), t_c2v
+
+
+def march(
+    value: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+    spec: ShardSpec = ShardSpec(),
+) -> RaycastHit:
+    """Lockstep fixed-trip ray march over the value plane
+    (RayCaster.cu:226-247). Records the first crossing and first death times
+    for events whose current sample voxel is in this shard's core."""
+    Xl, Y, Z = value.shape
+    x_base, x_total, core0, core1 = _resolve(spec, value.shape)
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     n_steps = int((RAY_MAX_M - RAY_MIN_M) / step) + 1
 
-    u = jnp.arange(W, dtype=jnp.float32)[None, :]
-    v = jnp.arange(H, dtype=jnp.float32)[:, None]
-    # get_ray_next (RayCaster.cu:56-62)
-    rx = jnp.broadcast_to((u - intr.cx) / intr.fx, (H, W))
-    ry = jnp.broadcast_to((v - intr.cy) / intr.fy, (H, W))
-    ray_next_cam = vec3.vec3(lift(rx), lift(ry), lift(jnp.ones((H, W), jnp.float32)))
-
-    ray_dir = vec3.normalized(vec3.matvec(r_c2v, ray_next_cam))
-    # degenerate-direction guard (RayCaster.cu:211-213)
-    dir_v = jnp.where(ray_dir.v == 0.0, 1e-15, ray_dir.v)
-    ray_dir = CSFD(dir_v, ray_dir.g)
-    ray_start = t_c2v  # (3,) dual
-
     start_v = ray_start.v[:, None, None]
-    dirs_v = ray_dir.v  # (3, H, W)
+    dirs_v = ray_dir.v
+    H, W = dirs_v.shape[-2:]
 
     def voxel_of(p):
         return jnp.floor(p / voxel).astype(jnp.int32)
 
-    def in_bounds(g):
+    def read_local(g):
+        return gather3d(value, g[0] - x_base, g[1], g[2]) + 1e-5
+
+    def in_global(g):
         return (
-            (g[0] >= 0) & (g[0] < X) & (g[1] >= 0) & (g[1] < Y) & (g[2] >= 0) & (g[2] < Z)
+            (g[0] >= 0) & (g[0] < x_total) & (g[1] >= 0) & (g[1] < Y)
+            & (g[2] >= 0) & (g[2] < Z)
         )
 
-    # initial read at clamped entry voxel (RayCaster.cu:226-231)
+    def owned(g):
+        return (g[0] >= core0) & (g[0] < core1)
+
     p0 = start_v + dirs_v * RAY_MIN_M
     g0 = voxel_of(p0)
     g0c = jnp.stack(
-        [
-            jnp.clip(g0[0], 0, X - 1),
-            jnp.clip(g0[1], 0, Y - 1),
-            jnp.clip(g0[2], 0, Z - 1),
-        ]
+        [jnp.clip(g0[0], 0, x_total - 1), jnp.clip(g0[1], 0, Y - 1), jnp.clip(g0[2], 0, Z - 1)]
     )
-    tsdf0 = _read_tsdf_value(vol.value, g0c[0], g0c[1], g0c[2])
+    tsdf0 = read_local(g0c)
 
-    # ---- march loop: value-plane reads only ------------------------------
+    inf = jnp.full((H, W), INF_T, jnp.float32)
+
     def body(k, carry):
-        prev_tsdf, found, dead, t_found = carry
+        prev_tsdf, t_found, t_dead = carry
         t_next = RAY_MIN_M + (k + 1).astype(jnp.float32) * step
         p = start_v + dirs_v * t_next
         g = voxel_of(p)
-        inside = in_bounds(g)
-        tsdf = _read_tsdf_value(vol.value, g[0], g[1], g[2])
-
-        active = ~found & ~dead
-        newly_dead = active & (~inside | ((prev_tsdf < 0.0) & (tsdf > 0.0)))
-        crossing = active & inside & (prev_tsdf > 0.0) & (tsdf < 0.0)
+        inside = in_global(g)
+        own = owned(g)
+        tsdf = read_local(g)
 
         t_curr = RAY_MIN_M + k.astype(jnp.float32) * step
-        t_found = jnp.where(crossing, t_curr, t_found)
-        found = found | crossing
-        dead = dead | newly_dead
-        return (tsdf, found, dead, t_found)
+        # death: out-of-volume exit — global geometry, every shard agrees —
+        # or a neg->pos transition owned by this shard's core
+        death = (~inside) | (own & inside & (prev_tsdf < 0.0) & (tsdf > 0.0))
+        crossing = own & inside & (prev_tsdf > 0.0) & (tsdf < 0.0)
 
-    zeros = jnp.zeros((H, W), jnp.float32)
-    falses = jnp.zeros((H, W), bool)
-    _, found, _, t_found = jax.lax.fori_loop(
-        0, n_steps, body, (tsdf0, falses, falses, zeros)
-    )
+        t_found = jnp.where(crossing & (t_curr < t_found), t_curr, t_found)
+        t_dead = jnp.where(death & (t_curr < t_dead), t_curr, t_dead)
+        return (tsdf, t_found, t_dead)
 
-    # ---- one-shot dual secant refinement (RayCaster.cu:247-261) ----------
+    _, t_found, t_dead = jax.lax.fori_loop(0, n_steps, body, (tsdf0, inf, inf))
+    return RaycastHit(t_found=t_found, t_dead=t_dead)
+
+
+def refine(
+    vol: VolumeState,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    hit_t: jnp.ndarray,
+    accept: jnp.ndarray,
+    r_v2w: CSFD,
+    t_v2w: CSFD,
+    cfg: VolumeConfig,
+    spec: ShardSpec = ShardSpec(),
+) -> Tuple[CSFD, CSFD, jnp.ndarray, jnp.ndarray]:
+    """Secant refinement + vertex/normal computation at ``hit_t`` for pixels
+    where ``accept``. Returns (vmap_w, nmap_w, v_ok, n_ok) with zeros (not
+    NaN) outside the masks, so shards can psum-combine; the caller converts
+    to NaN sentinels."""
+    voxel = cfg.voxel_size
+    step = cfg.trunc_dist * 0.8
+    Xl, Y, Z = vol.value.shape
+    x_base, x_total, _, _ = _resolve(spec, vol.value.shape)
+
     def point_at(t: CSFD) -> CSFD:
         return vec3.vec3(
             vec3.comp(ray_start, 0) + vec3.comp(ray_dir, 0) * t,
@@ -126,35 +228,42 @@ def raycast(
         )
 
     def trilin_at(p: CSFD) -> CSFD:
-        return trilinear_tsdf(
-            vol.value, vol.grad, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2), voxel
+        return trilinear_tsdf_shard(
+            vol.value, vol.grad,
+            vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2), voxel, spec,
         )
 
-    t_dual = lift(t_found)
+    t_dual = lift(jnp.where(accept, hit_t, RAY_MIN_M))
     ft = trilin_at(point_at(t_dual))
     ftdt = trilin_at(point_at(t_dual + step))
     ok = (
-        found
+        accept
         & ~jnp.isnan(ft.v)
         & ~jnp.isnan(ftdt.v)
         & (ft.v >= 0.0)
         & (ftdt.v <= 0.0)
         & (ftdt.v != ft.v)
     )
-    coef = ft / CSFD(jnp.where(ok, (ftdt - ft).v, 1.0), jnp.where(ok, (ftdt - ft).g, 0.0))
-    ts = t_dual - coef * step
+    denom = CSFD(jnp.where(ok, (ftdt - ft).v, 1.0), jnp.where(ok, (ftdt - ft).g, 0.0))
+    ts = t_dual - (ft / denom) * step
 
     vertex = point_at(ts)  # volume coords, dual
-    vertex_w = vec3.matvec(r_v2w, vertex) + CSFD(t_v2w.v[:, None, None], t_v2w.g[:, None, None])
-
-    nan = jnp.float32(jnp.nan)
-    vmap_out = CSFD(
-        jnp.where(ok[None], vertex_w.v, nan), jnp.where(ok[None], vertex_w.g, 0.0)
+    vertex_w = vec3.matvec(r_v2w, vertex) + CSFD(
+        t_v2w.v[:, None, None], t_v2w.g[:, None, None]
+    )
+    vmap = CSFD(
+        jnp.where(ok[None], jnp.nan_to_num(vertex_w.v), 0.0),
+        jnp.where(ok[None], jnp.nan_to_num(vertex_w.g), 0.0),
     )
 
-    # ---- central-difference normals (RayCaster.cu:269-304) ---------------
-    gv = voxel_of(vertex.v)
-    n_ok = ok & jnp.all((gv > 1) & (gv < jnp.array([X, Y, Z])[:, None, None] - 2), axis=0)
+    # central-difference normals with the reference's interior margin
+    # (RayCaster.cu:270-271)
+    gv = jnp.floor(vertex.v / voxel).astype(jnp.int32)
+    n_ok = ok & (
+        (gv[0] > 1) & (gv[0] < x_total - 2)
+        & (gv[1] > 1) & (gv[1] < Y - 2)
+        & (gv[2] > 1) & (gv[2] < Z - 2)
+    )
     half = voxel * 0.5
 
     def shifted(axis, sign):
@@ -171,6 +280,35 @@ def raycast(
     n_ok = n_ok & (nsq.v > 0.0) & ~jnp.isnan(nsq.v)
     safe_n = CSFD(jnp.where(n_ok[None], n.v, 1.0), jnp.where(n_ok[None], n.g, 0.0))
     n_g = vec3.matvec(r_v2w, vec3.normalized(safe_n))
-    nmap_out = CSFD(jnp.where(n_ok[None], n_g.v, nan), jnp.where(n_ok[None], n_g.g, 0.0))
+    nmap = CSFD(
+        jnp.where(n_ok[None], jnp.nan_to_num(n_g.v), 0.0),
+        jnp.where(n_ok[None], jnp.nan_to_num(n_g.g), 0.0),
+    )
+    return vmap, nmap, ok, n_ok
 
-    return vmap_out, nmap_out
+
+def finalize_maps(vmap, nmap, v_ok, n_ok) -> Tuple[CSFD, CSFD]:
+    """Install the NaN sentinels the downstream consumers check."""
+    nan = jnp.float32(jnp.nan)
+    vm = CSFD(jnp.where(v_ok[None], vmap.v, nan), jnp.where(v_ok[None], vmap.g, 0.0))
+    nm = CSFD(jnp.where(n_ok[None], nmap.v, nan), jnp.where(n_ok[None], nmap.g, 0.0))
+    return vm, nm
+
+
+def raycast(
+    vol: VolumeState,
+    r_c2v: CSFD,
+    t_c2v: CSFD,
+    r_v2w: CSFD,
+    t_v2w: CSFD,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+) -> Tuple[CSFD, CSFD]:
+    """Single-chip raycast: march + refine + NaN sentinels."""
+    ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
+    hit = march(vol.value, ray_start, ray_dir, cfg)
+    accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
+    vmap, nmap, v_ok, n_ok = refine(
+        vol, ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg
+    )
+    return finalize_maps(vmap, nmap, v_ok, n_ok)

@@ -1,0 +1,193 @@
+"""Multi-chip SLAM engine: the sharded counterpart of models.kinfu.
+
+Composes the shard_map stages of :mod:`.sharded` into one jitted per-frame
+step over a ``space`` mesh. Single-chip semantics are preserved exactly
+(tested against the unsharded engine on a CPU mesh); communication is
+ppermute halos + pmin/psum ray resolution + psum'd ICP systems, all over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csfd.single import CSFD, lift
+from ..geometry import se3
+from ..io.config import SlamConfig
+from ..models.kinfu import FrameResult, SlamState, _resize_nmap_dual
+from ..ops import fusion, icp, preprocess, raycast
+from .mesh import make_space_mesh, replicated, volume_sharding
+from .sharded import sharded_icp_system, sharded_integrate, sharded_raycast
+
+
+class ShardedXSlamEngine:
+    def __init__(self, config: SlamConfig, n_devices: Optional[int] = None):
+        self.config = config
+        self.intr = config.intrinsics
+        self.mesh = make_space_mesh(n_devices)
+        self.vol_cfg = fusion.VolumeConfig(
+            resolution=tuple(config.tsdf_size),
+            voxel_size=config.voxel_size,
+            trunc_dist=config.trunc_dist,
+            max_weight=config.max_integration_weight,
+        )
+        assert config.tsdf_size[0] % self.mesh.devices.size == 0, (
+            "volume X must divide the mesh"
+        )
+        self.world2volume = np.asarray(config.world2volume, np.float32)
+        self.pose_log = []
+        self._step = jax.jit(
+            functools.partial(
+                _process_frame_sharded,
+                config=config,
+                intr=self.intr,
+                vol_cfg=self.vol_cfg,
+                world2volume=self.world2volume,
+                mesh=self.mesh,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self) -> SlamState:
+        H, W = self.intr.height, self.intr.width
+        vs = volume_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        shape = self.vol_cfg.resolution
+        vol = fusion.VolumeState(
+            value=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+            grad=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+            weight=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+        )
+        nan_map = lambda h, w: CSFD(
+            jax.device_put(jnp.full((3, h, w), jnp.nan, jnp.float32), rep),
+            jax.device_put(jnp.zeros((3, h, w), jnp.float32), rep),
+        )
+        levels = self.config.num_levels
+        return SlamState(
+            volume=vol,
+            world2camera=lift(jnp.eye(4, dtype=jnp.float32)),
+            vmaps_prev=tuple(nan_map(H >> i, W >> i) for i in range(levels)),
+            nmaps_prev=tuple(nan_map(H >> i, W >> i) for i in range(levels)),
+            frame_idx=jnp.int32(0),
+            last_align_ok=jnp.bool_(True),
+        )
+
+    def process_frame(self, state, depth_u16, gt_pose=None):
+        if gt_pose is None:
+            gt_pose = np.eye(4, dtype=np.float32)
+        return self._step(state, jnp.asarray(depth_u16), jnp.asarray(gt_pose, np.float32))
+
+    def log_pose(self, result: FrameResult):
+        self.pose_log.append(np.asarray(result.camera2world.v))
+
+
+def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
+    c2w_prev = se3.inverse(state.world2camera)
+    r_prev = se3.rotation(c2w_prev)
+    t_prev = se3.translation(c2w_prev)
+    r_prev_inv = se3.rotation(state.world2camera)
+
+    r_curr, t_curr = r_prev, t_prev
+    ok = jnp.bool_(True)
+    inliers = jnp.int32(0)
+
+    for level in reversed(range(config.num_levels)):
+        for _ in range(config.icp_iterations[level]):
+            system = sharded_icp_system(
+                r_curr, t_curr, vmaps_curr[level], nmaps_curr[level],
+                r_prev_inv, t_prev, intr.level(level),
+                state.vmaps_prev[level], state.nmaps_prev[level],
+                config.dist_thres, config.angle_thres_sine, mesh,
+            )
+            x, step_ok = icp.solve_increment(system)
+            ok = ok & step_ok
+            inliers = system.inlier_count
+            inc = se3.euler_xyz_increment(*[CSFD(x.v[i], x.g[i]) for i in range(6)])
+            r_inc, t_inc = se3.rotation(inc), se3.translation(inc)
+            t_new = se3.matvec(r_inc, t_curr) + t_inc
+            r_new = se3.matmul(r_inc, r_curr)
+            t_curr = CSFD(jnp.where(step_ok, t_new.v, t_curr.v), jnp.where(step_ok, t_new.g, t_curr.g))
+            r_curr = CSFD(jnp.where(step_ok, r_new.v, r_curr.v), jnp.where(step_ok, r_new.g, r_curr.g))
+
+    rows = [
+        [se3.elem(r_curr, i, 0), se3.elem(r_curr, i, 1), se3.elem(r_curr, i, 2),
+         jax.tree.map(lambda a: a[i], t_curr)]
+        for i in range(3)
+    ]
+    one, zero = lift(jnp.float32(1.0)), lift(jnp.float32(0.0))
+    rows.append([zero, zero, zero, one])
+    return se3._stack(rows), ok, inliers
+
+
+def _process_frame_sharded(
+    state, depth_u16, gt_pose_c2w, *, config, intr, vol_cfg, world2volume, mesh
+):
+    levels = config.num_levels
+
+    depth0 = preprocess.bilateral_filter(depth_u16)
+    depths = [depth0]
+    for i in range(1, levels):
+        depths.append(preprocess.pyr_down(depths[-1]))
+    vmaps_curr = [preprocess.create_vmap(intr.level(i), depths[i]) for i in range(levels)]
+    nmaps_curr = [preprocess.create_nmap(v) for v in vmaps_curr]
+
+    is_first = state.frame_idx == 0
+
+    if config.use_gt_pose:
+        c2w = lift(gt_pose_c2w)
+        align_ok = jnp.bool_(True)
+        inliers = jnp.int32(0)
+    else:
+        c2w_est, align_ok, inliers = _pose_estimate_sharded(
+            state, vmaps_curr, nmaps_curr, config, intr, mesh
+        )
+        c2w_prev = se3.inverse(state.world2camera)
+        keep_prev = is_first | ~align_ok
+        c2w = CSFD(
+            jnp.where(keep_prev, c2w_prev.v, c2w_est.v),
+            jnp.where(keep_prev, c2w_prev.g, c2w_est.g),
+        )
+        align_ok = align_ok | is_first
+
+    w2c = se3.inverse(c2w)
+    w2v = lift(jnp.asarray(world2volume))
+    c2v = se3.matmul(w2v, c2w)
+    v2c = se3.inverse(c2v)
+
+    depth_m = fusion.scale_depth(depth_u16)
+    do_integrate = align_ok | is_first
+
+    def integrate_fn(vol):
+        return sharded_integrate(
+            vol, depth_m, se3.rotation(v2c), se3.translation(v2c), intr, vol_cfg,
+            config.bi_interpolate_threshold, mesh,
+        )
+
+    volume = jax.lax.cond(do_integrate, integrate_fn, lambda v: v, state.volume)
+
+    v2w = se3.inverse(w2v)
+    vmap0, nmap0 = sharded_raycast(
+        volume, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w), intr, vol_cfg, mesh,
+    )
+    vmaps_prev = [vmap0]
+    nmaps_prev = [nmap0]
+    for i in range(1, levels):
+        vmaps_prev.append(
+            CSFD(preprocess.resize_vmap(vmaps_prev[-1].v), preprocess.resize_vmap(vmaps_prev[-1].g))
+        )
+        nmaps_prev.append(_resize_nmap_dual(nmaps_prev[-1]))
+
+    new_state = SlamState(
+        volume=volume,
+        world2camera=w2c,
+        vmaps_prev=tuple(vmaps_prev),
+        nmaps_prev=tuple(nmaps_prev),
+        frame_idx=state.frame_idx + config.frame_step,
+        last_align_ok=align_ok,
+    )
+    return new_state, FrameResult(camera2world=c2w, align_ok=align_ok, inlier_count=inliers)

@@ -1,0 +1,175 @@
+"""Multi-chip spatially-sharded SLAM: shard_map stages with halo exchange.
+
+New component (the reference is single-GPU; SURVEY.md §2.E "Distributed
+communication backend"). Partitioning scheme:
+
+* **TSDF volume**: X-slabs over the ``space`` mesh axis. Fusion is
+  embarrassingly parallel (each shard integrates its slab with the proper
+  global ``x_offset``; the depth frame is replicated). Raycasting exchanges
+  a halo of boundary rows with both neighbours via ``lax.ppermute`` over ICI,
+  marches locally, and resolves global ray ownership with ``lax.pmin`` over
+  per-shard first-crossing/first-death times (each global event has exactly
+  one owning shard — the one whose core rows contain the current sample
+  voxel), then ``lax.psum``-combines the refined vertex/normal maps.
+* **ICP**: pixel rows sharded over the same axis; the dual 6x7 system is
+  reduced with ``lax.psum`` (the cross-chip generalization of the
+  reference's two-stage in-GPU reduction, ICP.cu:365-429).
+
+The halo width covers the worst-case X-extent of refinement stencils:
+march step (0.8*trunc = 2.4 voxels) + trilinear/normal taps (~2.5) -> 6.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csfd.single import CSFD, lift
+from ..geometry import se3
+from ..geometry.intrinsics import Intrinsics
+from ..io.config import SlamConfig
+from ..models import kinfu
+from ..ops import fusion, icp, preprocess, raycast
+from .mesh import SPACE_AXIS, make_space_mesh, replicated, rows_sharding, volume_sharding
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _halo_width(cfg: fusion.VolumeConfig, local_x: int) -> int:
+    step_vox = int(np.ceil(0.8 * cfg.trunc_dist / cfg.voxel_size))
+    return min(step_vox + 3, local_x)
+
+
+def sharded_integrate(vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh):
+    """Per-slab fusion; no communication."""
+
+    def stage(vol, depth_m, r_v2c, t_v2c):
+        idx = jax.lax.axis_index(SPACE_AXIS)
+        local_x = vol.value.shape[0]
+        return fusion.integrate(
+            vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+            bi_threshold=bi_threshold, x_offset=idx * local_x,
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    vol_spec = fusion.VolumeState(
+        value=P(SPACE_AXIS, None, None),
+        grad=P(SPACE_AXIS, None, None),
+        weight=P(SPACE_AXIS, None, None),
+    )
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(vol_spec, P(), CSFD(P(), P()), CSFD(P(), P())),
+        out_specs=vol_spec,
+        check_vma=False,
+    )(vol, depth_m, r_v2c, t_v2c)
+
+
+def _exchange_halo(arr: jnp.ndarray, h: int, n_shards: int):
+    """Fetch left/right neighbour boundary rows over the ring."""
+    idx = jnp.arange(n_shards)
+    fwd = [(int(i), int((i + 1) % n_shards)) for i in range(n_shards)]
+    bwd = [(int(i), int((i - 1) % n_shards)) for i in range(n_shards)]
+    left = jax.lax.ppermute(arr[-h:], SPACE_AXIS, fwd)  # from left neighbour
+    right = jax.lax.ppermute(arr[:h], SPACE_AXIS, bwd)  # from right neighbour
+    return jnp.concatenate([left, arr, right], axis=0)
+
+
+def sharded_raycast(vol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh):
+    n_shards = mesh.shape[SPACE_AXIS]
+
+    def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w):
+        idx = jax.lax.axis_index(SPACE_AXIS)
+        local_x = vol.value.shape[0]
+        x_total = local_x * n_shards
+        h = _halo_width(vol_cfg, local_x)
+
+        value_ext = _exchange_halo(vol.value, h, n_shards)
+        grad_ext = _exchange_halo(vol.grad, h, n_shards)
+        vol_ext = fusion.VolumeState(value=value_ext, grad=grad_ext, weight=vol.weight)
+
+        spec = raycast.ShardSpec(
+            x_base=idx * local_x - h,
+            x_total=x_total,
+            core_start=idx * local_x,
+            core_end=(idx + 1) * local_x,
+        )
+
+        ray_dir, ray_start = raycast._camera_rays(r_c2v, t_c2v, intr)
+        hit = raycast.march(value_ext, ray_start, ray_dir, vol_cfg, spec)
+
+        t_found_min = jax.lax.pmin(hit.t_found, SPACE_AXIS)
+        t_dead_min = jax.lax.pmin(hit.t_dead, SPACE_AXIS)
+        accept = (t_found_min < raycast.INF_T) & (t_found_min < t_dead_min)
+        owner = accept & (hit.t_found == t_found_min)
+
+        vmap, nmap, v_ok, n_ok = raycast.refine(
+            vol_ext, ray_start, ray_dir, t_found_min, owner, r_v2w, t_v2w, vol_cfg, spec
+        )
+        psum = lambda x: jax.lax.psum(x, SPACE_AXIS)
+        vmap = CSFD(psum(vmap.v), psum(vmap.g))
+        nmap = CSFD(psum(nmap.v), psum(nmap.g))
+        v_ok = psum(v_ok.astype(jnp.int32)) > 0
+        n_ok = psum(n_ok.astype(jnp.int32)) > 0
+        return raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
+
+    from jax.sharding import PartitionSpec as P
+
+    vol_spec = fusion.VolumeState(
+        value=P(SPACE_AXIS, None, None),
+        grad=P(SPACE_AXIS, None, None),
+        weight=P(SPACE_AXIS, None, None),
+    )
+    dual = CSFD(P(), P())
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(vol_spec, dual, dual, dual, dual),
+        out_specs=(CSFD(P(), P()), CSFD(P(), P())),
+        check_vma=False,
+    )(vol, r_c2v, t_c2v, r_v2w, t_v2w)
+
+
+def sharded_icp_system(
+    r_curr, t_curr, vmap_curr, nmap_curr, r_prev_inv, t_prev, intr,
+    vmap_g_prev, nmap_g_prev, dist_thres, angle_thres, mesh,
+):
+    """Row-sharded correspondence search + psum'd 6x7 reduction."""
+
+    def stage(vmap_c, nmap_c, vprev, nprev, r_curr, t_curr, r_prev_inv, t_prev):
+        sys_local = icp.build_system(
+            r_curr, t_curr, vmap_c, nmap_c, r_prev_inv, t_prev, intr,
+            vprev, nprev, dist_thres, angle_thres,
+        )
+        psum = lambda x: jax.lax.psum(x, SPACE_AXIS)
+        return icp.IcpSystem(
+            A=CSFD(psum(sys_local.A.v), psum(sys_local.A.g)),
+            b=CSFD(psum(sys_local.b.v), psum(sys_local.b.g)),
+            inlier_count=psum(sys_local.inlier_count),
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    # shard the *current* maps over image columns (all pyramid widths are
+    # multiples of the mesh size; heights are not). The previous-model maps
+    # stay replicated: they are the projection target of the correspondence
+    # gather, which may land on any column.
+    cols = P(None, None, SPACE_AXIS)
+    dual_cols = CSFD(cols, cols)
+    dual = CSFD(P(), P())
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(cols, cols, dual, dual, dual, dual, dual, dual),
+        out_specs=icp.IcpSystem(A=dual, b=dual, inlier_count=P()),
+        check_vma=False,
+    )(vmap_curr, nmap_curr, vmap_g_prev, nmap_g_prev, r_curr, t_curr, r_prev_inv, t_prev)
