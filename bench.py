@@ -1,0 +1,80 @@
+"""Benchmark: full SLAM pipeline frames/sec/chip on the canonical workload.
+
+Mirrors the reference's measurement exactly: the timer spans ProcessFrame
+only (bilateral + pyramids + 12-iteration 3-level ICP + 256^3 TSDF fusion +
+640x480 raycast), mean over frames, FPS = 1000/mean_ms
+(``Experiments/test_xkinect_fusion/main.cpp:57-60,83``). Depth frames are
+synthetic renders of the default scene (no dataset downloads in this
+environment); tracking runs for real (not oracle poses) and the ATE of the
+run is reported alongside.
+
+vs_baseline: ratio to the 30 FPS real-time bar — the reference publishes no
+numeric FPS (BASELINE.md: "published: {}"), its README claims "real-time"
+dense differentiable SLAM on an RTX 4090, so 30 FPS on one TPU chip is the
+parity bar.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from xslam_tpu.io.config import SlamConfig
+    from xslam_tpu.io.synthetic import SyntheticDataset
+    from xslam_tpu.models.kinfu import XSlamEngine
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    warmup = 2
+
+    config = SlamConfig(end_frame=n_frames)
+    ds = SyntheticDataset(n_frames=n_frames, degrees_per_frame=0.4)
+    engine = XSlamEngine(config)
+    state = engine.init_state()
+
+    # pre-render all depth frames (dataset IO is outside the timed region,
+    # like the reference's cv::imread + upload)
+    depths = [ds.get_depth(i) for i in range(n_frames)]
+
+    times = []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        state, res = engine.process_frame(state, depths[i])
+        # host fetch of the pose forces full completion (block_until_ready
+        # alone can be a no-op under relayed backends)
+        pose = np.asarray(res.camera2world.v)
+        dt = time.perf_counter() - t0
+        engine.pose_log.append(pose)
+        if i >= warmup:
+            times.append(dt)
+
+    mean_ms = 1000.0 * float(np.mean(times))
+    fps = 1000.0 / mean_ms
+
+    est = normalize_to_first(engine.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(n_frames)])
+    ate = ate_rmse(est, gt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "slam_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 4),
+                "mean_frame_ms": round(mean_ms, 2),
+                "ate_rmse_m": round(ate, 5),
+                "frames": n_frames,
+                "workload": "640x480 depth, 256^3 TSDF @0.03m, 3-level ICP {5,4,3}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

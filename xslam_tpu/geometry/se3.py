@@ -211,6 +211,27 @@ def exp_real(xi: jnp.ndarray) -> jnp.ndarray:
     return exp(cs.lift(jnp.asarray(xi, jnp.float32))).v
 
 
+def log_real(T) -> jnp.ndarray:
+    """SE(3) log (inverse of :func:`exp`): T -> xi = (v, omega), numpy."""
+    import numpy as np
+
+    from scipy.spatial.transform import Rotation
+
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    w = Rotation.from_matrix(R).as_rotvec()  # robust incl. theta ~ pi
+    th = np.linalg.norm(w)
+    if th < 1e-8:
+        Vinv = np.eye(3)
+    else:
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        A = np.sin(th) / th
+        B = (1 - np.cos(th)) / th**2
+        Vinv = np.eye(3) - 0.5 * K + (1 / th**2) * (1 - A / (2 * B)) * (K @ K)
+    v = Vinv @ T[:3, 3]
+    return np.concatenate([v, w]).astype(np.float32)
+
+
 def inverse_real(T: jnp.ndarray) -> jnp.ndarray:
     R = T[:3, :3]
     t = T[:3, 3]

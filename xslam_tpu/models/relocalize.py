@@ -1,0 +1,131 @@
+"""Camera relocalization by second-order (Newton) optimization through the
+TSDF map.
+
+The task-aware-optimization flagship of X-SLAM: evaluate the relocalization
+loss plus its directional first and second derivatives via DCSFD pose seeds
+(reference device path ``ComputeLocalTsdfHessianKernel`` + host Newton logic
+sketched in the commented wrappers ``ComputeTSDF_hessian``,
+``KinectFusionReconstruction.cpp:403-436``, and the complex ``se3Exp``,
+``KinectFusionReconstruction.h:176-219``).
+
+The full 6x6 Hessian comes from hyper-dual cross seeds: evaluating with
+``e1 = e_j, e2 = e_k`` makes the ``e12`` lane carry ``e_j^T H e_k`` — 6
+diagonal + 15 cross evaluations, batched with ``jax.vmap`` so the heavy
+voxel sweep vectorizes across seed pairs on-device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csfd import double as dc
+from ..csfd.double import DCSFD
+from ..geometry import se3
+from ..geometry.intrinsics import Intrinsics
+from ..ops.fusion import VolumeConfig
+from ..ops.tsdf_loss import tsdf_loss_hessian
+
+
+class RelocResult(NamedTuple):
+    xi: jnp.ndarray  # (6,) optimized se(3) pose
+    loss_history: jnp.ndarray  # (iters,)
+    count: jnp.ndarray
+
+
+def _seed_pairs() -> Tuple[np.ndarray, np.ndarray]:
+    """(21, 6) direction pairs: 6 diagonal then 15 upper-triangle cross."""
+    d1, d2 = [], []
+    eye = np.eye(6, dtype=np.float32)
+    for k in range(6):
+        d1.append(eye[k])
+        d2.append(eye[k])
+    for j in range(6):
+        for k in range(j + 1, 6):
+            d1.append(eye[j])
+            d2.append(eye[k])
+    return np.stack(d1), np.stack(d2)
+
+
+_D1, _D2 = _seed_pairs()
+
+
+def loss_grad_hessian(
+    gt_value: jnp.ndarray,
+    depth_m: jnp.ndarray,
+    xi: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+):
+    """Full (loss, grad(6), H(6,6), count) at pose ``xi`` via 21 batched
+    hyper-dual evaluations."""
+
+    def eval_pair(d1, d2):
+        xi_d = DCSFD(xi, d1, d2, jnp.zeros_like(xi))
+        c2v = se3.exp(xi_d, mod=dc)
+        v2c = se3.inverse(c2v)
+        return tsdf_loss_hessian(
+            gt_value, depth_m, se3.rotation(v2c), se3.translation(v2c), intr, cfg
+        )
+
+    out = jax.vmap(eval_pair)(jnp.asarray(_D1), jnp.asarray(_D2))
+    loss = out.loss[0]
+    count = out.count[0]
+    grad = out.grad[:6]
+    H = jnp.zeros((6, 6), jnp.float32)
+    H = H.at[jnp.arange(6), jnp.arange(6)].set(out.hessian[:6])
+    idx = 6
+    for j in range(6):
+        for k in range(j + 1, 6):
+            H = H.at[j, k].set(out.hessian[idx])
+            H = H.at[k, j].set(out.hessian[idx])
+            idx += 1
+    return loss, grad, H, count
+
+
+def relocalize(
+    gt_value: jnp.ndarray,
+    depth_m: jnp.ndarray,
+    xi0: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    iters: int = 10,
+    damping: float = 1e-4,
+) -> RelocResult:
+    """Damped Newton iteration on the relocalization loss.
+
+    The reference's LM scaffolding (damp/lambda fields,
+    KinectFusionReconstruction.h:74-79) is realized here as
+    Levenberg-style diagonal damping with accept/reject.
+    """
+
+    loss0, _, _, count0 = loss_grad_hessian(gt_value, depth_m, jnp.asarray(xi0, jnp.float32), intr, cfg)
+
+    def body(carry, _):
+        xi, lam = carry
+        loss, g, H, count = loss_grad_hessian(gt_value, depth_m, xi, intr, cfg)
+        mean = loss / jnp.maximum(count, 1)
+        Hd = H + lam * jnp.eye(6, dtype=jnp.float32)
+        delta = -jnp.linalg.solve(Hd, g)
+        xi_new = xi + delta
+        loss_new, _, _, count_new = loss_grad_hessian(gt_value, depth_m, xi_new, intr, cfg)
+        mean_new = loss_new / jnp.maximum(count_new, 1)
+        # accept on mean-loss descent with a coverage guard: the raw summed
+        # loss (what the reference's thrust::reduce returns) rewards shrinking
+        # the valid-voxel set, so a step may not sacrifice coverage
+        accept = (
+            (mean_new < mean)
+            & (count_new >= (0.7 * count0).astype(count_new.dtype))
+            & ~jnp.any(jnp.isnan(xi_new))
+        )
+        xi = jnp.where(accept, xi_new, xi)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e2))
+        return (xi, lam), (mean, count)
+
+    (xi, _), (losses, counts) = jax.lax.scan(
+        body, (jnp.asarray(xi0, jnp.float32), jnp.float32(damping)), None, length=iters
+    )
+    return RelocResult(xi=xi, loss_history=losses, count=counts[-1])

@@ -70,6 +70,7 @@ def tsdf_loss_hessian(
     intr: Intrinsics,
     cfg: VolumeConfig,
     x_offset: int = 0,
+    return_field: bool = False,
 ) -> TsdfLossResult:
     """Per-voxel relocalization loss, reduced to (loss, grad, hess, count).
 
@@ -115,6 +116,9 @@ def tsdf_loss_hessian(
 
     mask = gt_ok & front & in_bounds & range_ok & err_ok
     loss = error * error
+
+    if return_field:
+        return loss, mask
 
     msum = lambda a: jnp.sum(jnp.where(mask, a, 0.0))
     return TsdfLossResult(
