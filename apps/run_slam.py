@@ -1,0 +1,116 @@
+"""End-to-end SLAM driver: the L5 experiment app.
+
+Mirrors ``Experiments/test_xkinect_fusion/main.cpp``: YAML config in,
+per-frame estimated/gt pose logging (``output/slam/frame-XXXXXX.pose.txt``,
+``output/gt/...``), optional final point-cloud PLY export, mean frame time
+printed at the end. Adds what the reference leaves to offline tooling: an
+ATE RMSE report when ground truth is available.
+
+Usage:
+    python apps/run_slam.py <config.yaml> [--sharded] [--frames N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def save_pose(output_dir: str, frame_id: int, pose: np.ndarray):
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"frame-{frame_id:06d}.pose.txt")
+    from xslam_tpu.runtime import native
+
+    if not native.write_pose(path, pose):
+        np.savetxt(path, pose, fmt="%.7f")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--sharded", action="store_true", help="use the multi-chip engine")
+    ap.add_argument("--frames", type=int, default=None, help="override end_frame")
+    args = ap.parse_args()
+
+    from xslam_tpu.io.config import load_config
+    from xslam_tpu.io.dataset import make_dataset
+    from xslam_tpu.io.ply import export_ply
+
+    config = load_config(args.config)
+    if args.frames is not None:
+        config.end_frame = args.frames
+    dataset = make_dataset(config)
+    n_frames = min(len(dataset), config.end_frame - config.start_frame)
+    print(f"frame num: {n_frames}")
+
+    print("initialize engine......")
+    if args.sharded:
+        from xslam_tpu.parallel.engine import ShardedXSlamEngine
+
+        engine = ShardedXSlamEngine(config)
+    else:
+        from xslam_tpu.models.kinfu import XSlamEngine
+
+        engine = XSlamEngine(config)
+    state = engine.init_state()
+
+    out_dir = config.output_dir
+    total_time = 0.0
+    timed_frames = 0
+    print("start slam!")
+    for i in range(n_frames):
+        depth = dataset.get_depth(config.start_frame + i)
+        gt_pose = dataset.get_pose(config.start_frame + i) if config.use_gt_pose else None
+
+        t0 = time.perf_counter()
+        state, res = engine.process_frame(state, depth, gt_pose=gt_pose)
+        pose_c2w = np.asarray(res.camera2world.v)  # host fetch = full sync
+        dt = (time.perf_counter() - t0) * 1000.0
+        if i > 0:  # exclude compile
+            total_time += dt
+            timed_frames += 1
+        engine.pose_log.append(pose_c2w)
+
+        if config.log_slam_pose:
+            save_pose(os.path.join(out_dir, "slam"), i, pose_c2w)
+        if config.log_gt_pose:
+            gt = np.linalg.inv(dataset.get_pose(config.start_frame)) @ dataset.get_pose(
+                config.start_frame + i
+            )
+            save_pose(os.path.join(out_dir, "gt"), i, gt)
+        if not bool(res.align_ok):
+            print(f"frame {i}: align failed!")
+
+    if config.draw_pcd:
+        from xslam_tpu.ops.extract import extract_points
+        import jax
+
+        pc = jax.jit(
+            lambda vol: extract_points(vol, engine.vol_cfg, capacity=1_000_000)
+        )(state.volume)
+        n = int(pc.count)
+        os.makedirs(out_dir, exist_ok=True)
+        export_ply(
+            os.path.join(out_dir, "pcd.ply"),
+            np.asarray(pc.points)[:n],
+            np.asarray(pc.normals)[:n],
+        )
+        print(f"exported {n} points")
+
+    if timed_frames:
+        print(f"mean frame time = {total_time / timed_frames:.3f} ms")
+
+    # in-repo ATE evaluation (the reference compares pose dirs offline)
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    gt_poses = [dataset.get_pose(config.start_frame + i) for i in range(n_frames)]
+    ate = ate_rmse(normalize_to_first(engine.pose_log), normalize_to_first(gt_poses))
+    print(f"ATE RMSE = {ate:.5f} m")
+
+
+if __name__ == "__main__":
+    main()

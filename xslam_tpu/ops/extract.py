@@ -120,23 +120,28 @@ def extract_points(
 
 
 # ---------------------------------------------------------------- mesh (MT)
-# Tetrahedron decomposition of a cube (6 tets, consistent orientation);
-# corner ids are cube-corner bit codes (x | y<<1 | z<<2).
-_TETS = jnp.array(
+# Tetrahedron decomposition of a cube (6 tets sharing the 0-6 diagonal);
+# corner ids index _CORNERS below. Host-side numpy so table indexing stays
+# concrete under jit.
+import numpy as _np
+
+# Kuhn triangulation: tets (0, a, a|b, 7) over the 6 monotone paths
+# 0 -> axis -> axis-pair -> 7; they exactly tile the cube.
+_TETS = _np.array(
     [
-        [0, 5, 1, 6],
-        [0, 1, 3, 6],
-        [0, 3, 2, 6],
-        [0, 2, 7, 6],  # corner 7 == (1,1,1)? see mapping below
-        [0, 7, 4, 6],
-        [0, 4, 5, 6],
+        [0, 1, 3, 7],
+        [0, 1, 5, 7],
+        [0, 2, 3, 7],
+        [0, 2, 6, 7],
+        [0, 4, 5, 7],
+        [0, 4, 6, 7],
     ],
-    jnp.int32,
+    _np.int32,
 )
 # cube corner offsets indexed by corner id
-_CORNERS = jnp.array(
+_CORNERS = _np.array(
     [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
-    jnp.int32,
+    _np.int32,
 )
 
 
