@@ -1,0 +1,60 @@
+"""Empty-space-skipping march must reproduce the fixed-trip march exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xslam_tpu.csfd.single import lift
+from xslam_tpu.geometry import se3
+from xslam_tpu.ops import fusion, raycast
+from xslam_tpu.models.kinfu import XSlamEngine
+from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+from tests.helpers import SMALL_INTR, small_config, small_dataset
+
+
+def test_skip_march_equals_fixed():
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(4, degrees_per_frame=2.0)
+    vol = fusion.create_volume(vol_cfg)
+    integ = jax.jit(lambda v, d, r, t: fusion.integrate(v, d, r, t, SMALL_INTR, vol_cfg))
+    for i in range(4):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32)))
+        v2c = se3.inverse(c2v)
+        vol = integ(vol, dm, se3.rotation(v2c), se3.translation(v2c))
+
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    ray_dir, ray_start = raycast._camera_rays(se3.rotation(c2v), se3.translation(c2v), SMALL_INTR)
+
+    fixed = jax.jit(lambda v: raycast.march(v.value, ray_start, ray_dir, vol_cfg))(vol)
+    skip = jax.jit(
+        lambda v: raycast.march_skip(v.value, v.weight, ray_start, ray_dir, vol_cfg)
+    )(vol)
+
+    tf_fixed = np.asarray(fixed.t_found)
+    tf_skip = np.asarray(skip.t_found)
+    acc_fixed = tf_fixed < np.minimum(np.asarray(fixed.t_dead), raycast.INF_T)
+    acc_skip = tf_skip < np.minimum(np.asarray(skip.t_dead), raycast.INF_T)
+
+    # identical hit decisions and identical crossing times
+    assert acc_fixed.sum() > 5000
+    np.testing.assert_array_equal(acc_fixed, acc_skip)
+    np.testing.assert_allclose(tf_fixed[acc_fixed], tf_skip[acc_skip], atol=1e-5)
+
+
+def test_skip_march_e2e_tracking():
+    cfg = small_config(end_frame=6, raycast_march="skip", raycast_normals="screen")
+    ds = small_dataset(6, degrees_per_frame=0.5)
+    engine = XSlamEngine(cfg)
+    state = engine.init_state()
+    for i in range(6):
+        state, res = engine.process_frame(state, ds.get_depth(i))
+        engine.log_pose(res)
+        assert bool(res.align_ok)
+    est = normalize_to_first(engine.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
+    assert ate_rmse(est, gt) < 0.06

@@ -53,6 +53,18 @@ class SlamConfig:
     cx: float = 319.50
     cy: float = 239.50
 
+    # model-map normal source: "tsdf" = trilinear TSDF central differences
+    # (reference behaviour, RayCaster.cu:272-297); "screen" = vertex-map
+    # cross products (gather-free TPU fast path, same formula as Map.cu's
+    # current-frame normals)
+    raycast_normals: str = "tsdf"
+
+    # ray-march strategy: "fixed" = fixed-trip lockstep (reference
+    # semantics, RayCaster.cu:236); "skip" = brick-distance-field
+    # empty-space skipping with dynamic trip count (identical events,
+    # fewer volume reads)
+    raycast_march: str = "fixed"
+
     # ICP (ICL_traj2.yaml:43-46; iterations {5,4,3} hard-coded in
     # KinectFusionReconstruction.cpp:54)
     num_levels: int = 3

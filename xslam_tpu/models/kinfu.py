@@ -245,7 +245,11 @@ def process_frame(
     r_c2v, t_c2v = se3.rotation(c2v), se3.translation(c2v)
     v2w = se3.inverse(w2v)
     r_v2w, t_v2w = se3.rotation(v2w), se3.translation(v2w)
-    vmap0, nmap0 = raycast.raycast(volume, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg)
+    vmap0, nmap0 = raycast.raycast(
+        volume, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg,
+        normals_mode=config.raycast_normals,
+        march_mode=config.raycast_march,
+    )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]
     for i in range(1, levels):

@@ -117,7 +117,26 @@ def integrate(
     image_x = vcx * intr.fx * inv_z + intr.cx
     image_y = vcy * intr.fy * inv_z + intr.cy
 
-    dp, in_bounds = bilinear_depth_sample(depth_m, image_x, image_y, bi_threshold)
+    if bi_threshold <= 0.0:
+        # canonical config: biInterpolate_threshold = 0 (ICL_traj2.yaml:17)
+        # makes the discontinuity gate always fail -> the reference always
+        # takes the nearest-neighbour branch and the 4 corner fetches are
+        # dead. Specializing saves 4 of 5 gathers per voxel (the dominant
+        # cost on TPU, where gathers are scalar-issue).
+        H, W = depth_m.shape
+        cxi = jnp.floor(image_x.v - 0.5).astype(jnp.int32)
+        cyi = jnp.floor(image_y.v - 0.5).astype(jnp.int32)
+        in_bounds = (cxi > 1) & (cyi > 1) & (cxi < W - 1) & (cyi < H - 1)
+        from .sampling import gather2d
+
+        d_near = gather2d(
+            depth_m,
+            jnp.round(image_y.v).astype(jnp.int32),
+            jnp.round(image_x.v).astype(jnp.int32),
+        )
+        dp = CSFD(d_near, jnp.zeros_like(d_near))
+    else:
+        dp, in_bounds = bilinear_depth_sample(depth_m, image_x, image_y, bi_threshold)
 
     # back-project the sampled pixel ray point and take the norm difference
     # (TsdfFusion.cu:144-149)

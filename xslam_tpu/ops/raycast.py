@@ -200,6 +200,120 @@ def march(
     return RaycastHit(t_found=t_found, t_dead=t_dead)
 
 
+BRICK = 8  # voxels per empty-space-skip brick edge
+DIST_CAP = 5  # brick-distance field saturation
+
+
+def brick_distance_field(value: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Per-brick L-inf distance (capped) to the nearest brick that can host a
+    march event (a brick containing an observed negative voxel), dilated so
+    any event's previous sample also lies in the zero-distance zone.
+
+    This is the raycaster's empty-space-skipping acceleration structure —
+    the TPU answer to the reference's brute-force fixed stepping: rays
+    sphere-trace through free space in O(1) brick jumps. Cost: a handful of
+    elementwise passes over the volume + (X/8)^3-sized dilations per frame.
+    """
+    X, Y, Z = value.shape
+    neg = (value < 0.0) & (weight > 0.0)
+    bricks = neg.reshape(X // BRICK, BRICK, Y // BRICK, BRICK, Z // BRICK, BRICK)
+    interesting = jnp.any(bricks, axis=(1, 3, 5))
+
+    def dilate(m):
+        for ax in range(3):
+            m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
+        return m
+
+    # one dilation covers the <= 1-brick reach of an event's prev sample
+    m = dilate(interesting)
+    dist = jnp.where(m, 0, DIST_CAP).astype(jnp.int32)
+    cur = m
+    for k in range(1, DIST_CAP):
+        cur = dilate(cur)
+        dist = jnp.minimum(dist, jnp.where(cur, k, DIST_CAP))
+    return dist
+
+
+def march_skip(
+    value: jnp.ndarray,
+    weight: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+) -> RaycastHit:
+    """Empty-space-skipping march (single-chip): identical event semantics to
+    :func:`march` — in skip regions all TSDF values are non-negative, so the
+    virtual skipped samples can never produce a crossing or a sign-death, and
+    a sentinel positive ``prev`` preserves the event conditions exactly.
+    Dynamic trip count via ``lax.while_loop`` (the per-ray early-out the
+    CUDA reference gets from its ``break``)."""
+    X, Y, Z = value.shape
+    voxel = cfg.voxel_size
+    step = cfg.trunc_dist * 0.8
+    brick_m = BRICK * voxel
+    dist = brick_distance_field(value, weight)
+
+    start_v = ray_start.v[:, None, None]
+    dirs_v = ray_dir.v
+    H, W = dirs_v.shape[-2:]
+
+    def read_value(g):
+        return gather3d(value, g[0], g[1], g[2]) + 1e-5
+
+    def in_global(g):
+        return (
+            (g[0] >= 0) & (g[0] < X) & (g[1] >= 0) & (g[1] < Y) & (g[2] >= 0) & (g[2] < Z)
+        )
+
+    # initial clamped read at entry (RayCaster.cu:226-231)
+    p0 = start_v + dirs_v * RAY_MIN_M
+    g0 = jnp.floor(p0 / voxel).astype(jnp.int32)
+    g0c = jnp.stack(
+        [jnp.clip(g0[0], 0, X - 1), jnp.clip(g0[1], 0, Y - 1), jnp.clip(g0[2], 0, Z - 1)]
+    )
+    prev0 = read_value(g0c)
+
+    inf = jnp.full((H, W), INF_T, jnp.float32)
+    t0 = jnp.full((H, W), RAY_MIN_M, jnp.float32)
+    done0 = jnp.zeros((H, W), bool)
+
+    def cond(carry):
+        t, prev, t_found, t_dead, done = carry
+        return jnp.any(~done)
+
+    def body(carry):
+        t, prev, t_found, t_dead, done = carry
+        t_next = t + step
+        p = start_v + dirs_v * t_next
+        g = jnp.floor(p / voxel).astype(jnp.int32)
+        inside = in_global(g)
+
+        d = gather3d(dist.astype(jnp.float32), g[0] // BRICK, g[1] // BRICK, g[2] // BRICK,
+                     fill=0.0).astype(jnp.int32)
+        can_jump = inside & (d >= 2) & ~done
+
+        tsdf = read_value(g)
+
+        active = ~done
+        fine = active & ~can_jump
+        death = fine & (~inside | ((prev < 0.0) & (tsdf > 0.0) & inside))
+        crossing = fine & inside & (prev > 0.0) & (tsdf < 0.0)
+
+        t_found = jnp.where(crossing, t, t_found)
+        t_dead = jnp.where(death, t, t_dead)
+        done = done | crossing | death | (t_next >= RAY_MAX_M)
+
+        jump = jnp.maximum(step, (d.astype(jnp.float32) - 1.0) * brick_m)
+        t_new = jnp.where(can_jump, t + jump, t_next)
+        prev_new = jnp.where(can_jump, 1.0, tsdf)
+        return (t_new, prev_new, t_found, t_dead, done)
+
+    _, _, t_found, t_dead, _ = jax.lax.while_loop(
+        cond, body, (t0, prev0, inf, inf, done0)
+    )
+    return RaycastHit(t_found=t_found, t_dead=t_dead)
+
+
 def refine(
     vol: VolumeState,
     ray_start: CSFD,
@@ -210,11 +324,17 @@ def refine(
     t_v2w: CSFD,
     cfg: VolumeConfig,
     spec: ShardSpec = ShardSpec(),
+    normals_mode: str = "tsdf",
 ) -> Tuple[CSFD, CSFD, jnp.ndarray, jnp.ndarray]:
     """Secant refinement + vertex/normal computation at ``hit_t`` for pixels
     where ``accept``. Returns (vmap_w, nmap_w, v_ok, n_ok) with zeros (not
     NaN) outside the masks, so shards can psum-combine; the caller converts
-    to NaN sentinels."""
+    to NaN sentinels.
+
+    ``normals_mode``: "tsdf" = central differences of the interpolated TSDF
+    (reference behaviour, 6 trilinear evals); "screen" = skip here (caller
+    derives normals from the combined vertex map, see
+    :func:`screen_normals`)."""
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     Xl, Y, Z = vol.value.shape
@@ -256,6 +376,10 @@ def refine(
         jnp.where(ok[None], jnp.nan_to_num(vertex_w.g), 0.0),
     )
 
+    if normals_mode == "screen":
+        zeros = CSFD(jnp.zeros_like(vmap.v), jnp.zeros_like(vmap.g))
+        return vmap, zeros, ok, jnp.zeros_like(ok)
+
     # central-difference normals with the reference's interior margin
     # (RayCaster.cu:270-271)
     gv = jnp.floor(vertex.v / voxel).astype(jnp.int32)
@@ -287,6 +411,36 @@ def refine(
     return vmap, nmap, ok, n_ok
 
 
+def screen_normals(vmap: CSFD) -> CSFD:
+    """Dual world-space normals from raycast-vertex cross products.
+
+    A TPU-native alternative to the reference's 6 extra trilinear TSDF
+    interpolations per pixel (96 gathers, RayCaster.cu:272-297): zero
+    gathers, same formula as the current-frame normal map
+    (``computeNmapKernel``, Map.cu:32-70). Normal orientation is irrelevant
+    to the ICP normal equations (J and r flip sign together).
+    """
+    import jax.numpy as jnp
+
+    from .preprocess import _shift2d
+
+    v00 = vmap
+    v01 = CSFD(_shift2d(vmap.v, 0, 1, fill=jnp.nan), _shift2d(vmap.g, 0, 1))
+    v10 = CSFD(_shift2d(vmap.v, 1, 0, fill=jnp.nan), _shift2d(vmap.g, 1, 0))
+    a = v01 - v00
+    b = v10 - v00
+    n = vec3.cross(a, b)
+    ok = (
+        ~jnp.isnan(v00.v[0]) & ~jnp.isnan(v01.v[0]) & ~jnp.isnan(v10.v[0])
+    )
+    nsq = vec3.squarednorm(n)
+    ok = ok & (nsq.v > 0.0) & ~jnp.isnan(nsq.v)
+    safe = CSFD(jnp.where(ok[None], n.v, 1.0), jnp.where(ok[None], n.g, 0.0))
+    out = vec3.normalized(safe)
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok[None], out.v, nan), jnp.where(ok[None], out.g, 0.0))
+
+
 def finalize_maps(vmap, nmap, v_ok, n_ok) -> Tuple[CSFD, CSFD]:
     """Install the NaN sentinels the downstream consumers check."""
     nan = jnp.float32(jnp.nan)
@@ -303,12 +457,21 @@ def raycast(
     t_v2w: CSFD,
     intr: Intrinsics,
     cfg: VolumeConfig,
+    normals_mode: str = "tsdf",
+    march_mode: str = "fixed",
 ) -> Tuple[CSFD, CSFD]:
     """Single-chip raycast: march + refine + NaN sentinels."""
     ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
-    hit = march(vol.value, ray_start, ray_dir, cfg)
+    if march_mode == "skip":
+        hit = march_skip(vol.value, vol.weight, ray_start, ray_dir, cfg)
+    else:
+        hit = march(vol.value, ray_start, ray_dir, cfg)
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
     vmap, nmap, v_ok, n_ok = refine(
-        vol, ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg
+        vol, ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg,
+        normals_mode=normals_mode,
     )
-    return finalize_maps(vmap, nmap, v_ok, n_ok)
+    vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
+    if normals_mode == "screen":
+        nmap = screen_normals(vmap)
+    return vmap, nmap

@@ -173,6 +173,7 @@ def _process_frame_sharded(
     vmap0, nmap0 = sharded_raycast(
         volume, se3.rotation(c2v), se3.translation(c2v),
         se3.rotation(v2w), se3.translation(v2w), intr, vol_cfg, mesh,
+        normals_mode=config.raycast_normals,
     )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]

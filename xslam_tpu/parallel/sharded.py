@@ -84,7 +84,8 @@ def _exchange_halo(arr: jnp.ndarray, h: int, n_shards: int):
     return jnp.concatenate([left, arr, right], axis=0)
 
 
-def sharded_raycast(vol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh):
+def sharded_raycast(vol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh,
+                    normals_mode: str = "tsdf"):
     n_shards = mesh.shape[SPACE_AXIS]
 
     def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w):
@@ -113,14 +114,18 @@ def sharded_raycast(vol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh):
         owner = accept & (hit.t_found == t_found_min)
 
         vmap, nmap, v_ok, n_ok = raycast.refine(
-            vol_ext, ray_start, ray_dir, t_found_min, owner, r_v2w, t_v2w, vol_cfg, spec
+            vol_ext, ray_start, ray_dir, t_found_min, owner, r_v2w, t_v2w, vol_cfg, spec,
+            normals_mode=normals_mode,
         )
         psum = lambda x: jax.lax.psum(x, SPACE_AXIS)
         vmap = CSFD(psum(vmap.v), psum(vmap.g))
         nmap = CSFD(psum(nmap.v), psum(nmap.g))
         v_ok = psum(v_ok.astype(jnp.int32)) > 0
         n_ok = psum(n_ok.astype(jnp.int32)) > 0
-        return raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
+        vmap, nmap = raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
+        if normals_mode == "screen":
+            nmap = raycast.screen_normals(vmap)
+        return vmap, nmap
 
     from jax.sharding import PartitionSpec as P
 
