@@ -53,13 +53,25 @@ def normalized(v: CSFD) -> CSFD:
 def matvec(m: CSFD, v: CSFD) -> CSFD:
     """(3,3[,...]) mat times (3[,...]) vec, batched over trailing axes.
 
-    Internal.h:150-154 — rows dotted with the vector.
+    Internal.h:150-154 — rows dotted with the vector. Unrolled to explicit
+    elementwise ops (full-f32 VPU) rather than einsum, which the TPU would
+    route through single-pass bf16 MXU contractions and corrupt metric
+    coordinates at the centimetre level.
     """
-    mv = m.v
-    mg = m.g
-    val = jnp.einsum("ij...,j...->i...", mv, v.v)
-    grd = jnp.einsum("ij...,j...->i...", mg, v.v) + jnp.einsum("ij...,j...->i...", mv, v.g)
-    return CSFD(val, grd)
+
+    def el(a, i, j):
+        return a[i, j]
+
+    def vrow(mv, mg, i):
+        val = el(mv, i, 0) * v.v[0] + el(mv, i, 1) * v.v[1] + el(mv, i, 2) * v.v[2]
+        grd = (
+            el(mg, i, 0) * v.v[0] + el(mg, i, 1) * v.v[1] + el(mg, i, 2) * v.v[2]
+            + el(mv, i, 0) * v.g[0] + el(mv, i, 1) * v.g[1] + el(mv, i, 2) * v.g[2]
+        )
+        return val, grd
+
+    rows = [vrow(m.v, m.g, i) for i in range(3)]
+    return CSFD(jnp.stack([r[0] for r in rows]), jnp.stack([r[1] for r in rows]))
 
 
 def where3(pred, a: CSFD, b: CSFD) -> CSFD:

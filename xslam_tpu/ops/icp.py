@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..csfd import vec3
@@ -139,7 +140,14 @@ def build_system(
     rb = CSFD(r.v.reshape(n_blocks, -1, 1), r.g.reshape(n_blocks, -1, 1))
 
     def bmm(a: CSFD, b: CSFD) -> CSFD:
-        f = lambda x, y: jnp.einsum("bni,bnj->bij", x, y, preferred_element_type=jnp.float32)
+        # HIGHEST precision: TPU f32 matmuls otherwise run single-pass bf16,
+        # which corrupts the normal equations (the reference uses f64 here,
+        # Internal.h:21; block-pairwise f32 needs full f32 multiplies)
+        f = lambda x, y: jnp.einsum(
+            "bni,bnj->bij", x, y,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return CSFD(f(a.v, b.v), f(a.g, b.v) + f(a.v, b.g))
 
     A = vec_sum(bmm(Jb, Jb))
