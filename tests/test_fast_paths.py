@@ -61,3 +61,13 @@ def test_nearest_fusion_matches_bilinear_gate_zero():
     slow = jax.jit(lambda v: fusion.integrate(v, depth_m, r, t, SMALL_INTR, vol_cfg, bi_threshold=1e-30))(vol0)
     np.testing.assert_array_equal(np.asarray(fast.weight), np.asarray(slow.weight))
     np.testing.assert_allclose(np.asarray(fast.value), np.asarray(slow.value), atol=1e-7)
+
+
+def test_brick_fusion_engine_e2e():
+    """Engine with brick-compacted fusion tracks identically to dense."""
+    ate_dense, s1 = _run(small_config(end_frame=5))
+    ate_brick, s2 = _run(small_config(end_frame=5, fusion_mode="brick", fusion_brick_cap=512))
+    assert abs(ate_dense - ate_brick) < 1e-4, (ate_dense, ate_brick)
+    np.testing.assert_array_equal(
+        np.asarray(s1.volume.weight), np.asarray(s2.volume.weight)
+    )

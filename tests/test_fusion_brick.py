@@ -1,0 +1,88 @@
+"""Brick-compacted fusion must be exactly equivalent to dense fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xslam_tpu.csfd.single import lift
+from xslam_tpu.geometry import se3
+from xslam_tpu.ops import fusion, fusion_brick
+from tests.helpers import SMALL_INTR, small_config, small_dataset
+
+
+def _setup(n_frames=3):
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(n_frames, degrees_per_frame=1.0)
+    return cfg, vol_cfg, w2v, ds
+
+
+def test_brick_fusion_equals_dense():
+    cfg, vol_cfg, w2v, ds = _setup(3)
+
+    dense = fusion.create_volume(vol_cfg)
+    brick = fusion.create_volume(vol_cfg)
+
+    integ_d = jax.jit(
+        lambda v, d, r, t: fusion.integrate(v, d, r, t, SMALL_INTR, vol_cfg)
+    )
+    integ_b = jax.jit(
+        lambda v, d, r, t: fusion_brick.integrate_brick(
+            v, d, r, t, SMALL_INTR, vol_cfg, cap=512
+        )
+    )
+
+    for i in range(3):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32)))
+        v2c = se3.inverse(c2v)
+        r, t = se3.rotation(v2c), se3.translation(v2c)
+        dense = integ_d(dense, dm, r, t)
+        brick, overflow = integ_b(brick, dm, r, t)
+        assert not bool(overflow)
+
+    np.testing.assert_array_equal(np.asarray(dense.weight), np.asarray(brick.weight))
+    np.testing.assert_allclose(
+        np.asarray(dense.value), np.asarray(brick.value), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(dense.grad), np.asarray(brick.grad), atol=1e-5)
+
+
+def test_brick_fusion_with_gradient_seed():
+    """Dual lanes must also match dense fusion when a pose direction is
+    seeded (FAR-branch grads decay, ACTIVE-branch grads flow)."""
+    from xslam_tpu.csfd.single import CSFD
+
+    cfg, vol_cfg, w2v, ds = _setup(1)
+    dm = fusion.scale_depth(jnp.asarray(ds.get_depth(0)))
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    v2c = se3.inverse(c2v)
+    r, t = se3.rotation(v2c), se3.translation(v2c)
+    t = CSFD(t.v, t.g + jnp.array([0.0, 0.0, 1.0]))  # seed d/d tz
+
+    vol0 = fusion.create_volume(vol_cfg)
+    dense = jax.jit(lambda v: fusion.integrate(v, dm, r, t, SMALL_INTR, vol_cfg))(vol0)
+    vol0 = fusion.create_volume(vol_cfg)
+    brick, overflow = jax.jit(
+        lambda v: fusion_brick.integrate_brick(v, dm, r, t, SMALL_INTR, vol_cfg, cap=512)
+    )(vol0)
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.asarray(dense.grad), np.asarray(brick.grad), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense.value), np.asarray(brick.value), atol=1e-5)
+
+
+def test_brick_overflow_flag():
+    cfg, vol_cfg, w2v, ds = _setup(1)
+    dm = fusion.scale_depth(jnp.asarray(ds.get_depth(0)))
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    v2c = se3.inverse(c2v)
+    vol0 = fusion.create_volume(vol_cfg)
+    _, overflow = jax.jit(
+        lambda v: fusion_brick.integrate_brick(
+            v, dm, se3.rotation(v2c), se3.translation(v2c), SMALL_INTR, vol_cfg, cap=4
+        )
+    )(vol0)
+    assert bool(overflow)

@@ -65,6 +65,12 @@ class SlamConfig:
     # fewer volume reads)
     raycast_march: str = "fixed"
 
+    # fusion strategy: "dense" = per-voxel depth sampling (reference
+    # semantics); "brick" = conservative brick culling (bit-equivalent,
+    # depth gathers bounded by fusion_brick_cap * 512)
+    fusion_mode: str = "dense"
+    fusion_brick_cap: int = 8192
+
     # ICP (ICL_traj2.yaml:43-46; iterations {5,4,3} hard-coded in
     # KinectFusionReconstruction.cpp:54)
     num_levels: int = 3

@@ -233,11 +233,23 @@ def process_frame(
     depth_m = fusion.scale_depth(depth_u16)
     do_integrate = align_ok | is_first
 
-    def integrate_fn(vol):
-        return fusion.integrate(
-            vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
-            bi_threshold=config.bi_interpolate_threshold,
-        )
+    if config.fusion_mode == "brick":
+        from ..ops import fusion_brick
+
+        def integrate_fn(vol):
+            out, overflow = fusion_brick.integrate_brick(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                bi_threshold=config.bi_interpolate_threshold,
+                cap=config.fusion_brick_cap,
+            )
+            return out
+    else:
+
+        def integrate_fn(vol):
+            return fusion.integrate(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                bi_threshold=config.bi_interpolate_threshold,
+            )
 
     volume = jax.lax.cond(do_integrate, integrate_fn, lambda v: v, state.volume)
 

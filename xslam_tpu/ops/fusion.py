@@ -98,6 +98,20 @@ def integrate(
     res = vol.value.shape
     gx, gy, gz = _voxel_grid_coords(res, cfg.voxel_size)
     gx = gx + x_offset * cfg.voxel_size
+    value, grad, weight = _voxel_update(
+        gx, gy, gz, vol.value, vol.grad, vol.weight,
+        depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold,
+    )
+    return VolumeState(value=value, grad=grad, weight=weight)
+
+
+def _voxel_update(
+    gx, gy, gz, v_value, v_grad, v_weight,
+    depth_m, r_v2c: CSFD, t_v2c: CSFD, intr: Intrinsics, cfg: VolumeConfig,
+    bi_threshold: float,
+):
+    """Shape-agnostic fusion update: voxel metric coordinates (any broadcastable
+    shapes) + matching volume data in, updated (value, grad, weight) out."""
 
     def R(i, j):
         return CSFD(r_v2c.v[i, j], r_v2c.g[i, j])
@@ -105,7 +119,7 @@ def integrate(
     def t(i):
         return CSFD(t_v2c.v[i], t_v2c.g[i])
 
-    # v_c = R_v2c * v_g + t_v2c, broadcast over the (X, Y, Z) grid
+    # v_c = R_v2c * v_g + t_v2c
     def cam_coord(i):
         return R(i, 0) * lift(gx) + R(i, 1) * lift(gy) + R(i, 2) * lift(gz) + t(i)
 
@@ -152,12 +166,12 @@ def integrate(
     tsdf = CSFD(jnp.where(beyond, 1.0, tsdf.v), jnp.where(beyond, 0.0, tsdf.g))
 
     # running weighted average with weight clamp (TsdfFusion.cu:160-167)
-    w_prev = vol.weight
-    tsdf_prev = tsdf_as_csfd(vol)
+    w_prev = v_weight
+    tsdf_prev = CSFD(v_value, v_grad)
     w_new = jnp.minimum(w_prev + 1.0, float(cfg.max_weight))
     fused = (tsdf_prev * w_prev + tsdf) / (w_prev + 1.0)
 
-    value = jnp.where(update, fused.v, vol.value)
-    grad = jnp.where(update, fused.g, vol.grad)
-    weight = jnp.where(update, w_new, vol.weight)
-    return VolumeState(value=value, grad=grad, weight=weight)
+    value = jnp.where(update, fused.v, v_value)
+    grad = jnp.where(update, fused.g, v_grad)
+    weight = jnp.where(update, w_new, v_weight)
+    return value, grad, weight

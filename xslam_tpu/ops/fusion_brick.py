@@ -1,0 +1,285 @@
+"""Brick-compacted TSDF fusion: conservative culling of depth gathers.
+
+The dense fusion kernel (``tsdfFusionKernal``, TsdfFusion.cu:85-171 — and our
+:func:`xslam_tpu.ops.fusion.integrate`) samples the depth image once per
+voxel. On TPU gathers are scalar-issue (~8 ns), so 256^3 voxels cost ~140 ms
+of pure gather time per frame. This module classifies 8^3 voxel bricks
+*conservatively* into three classes and only issues depth gathers for the
+bricks that need them:
+
+- **NONE**: provably no voxel updates (behind camera, outside the image
+  bounds, or entirely beyond the truncation band behind the surface).
+- **FAR**: provably every voxel takes the saturated free-space branch
+  (``sdf > trunc_dist`` -> tsdf := 1 with zero derivative): the update is
+  computed for the whole volume elementwise with no depth sample at all.
+- **ACTIVE**: everything else (surface band, depth discontinuity cones,
+  partially-visible bricks, invalid-pixel footprints): compacted into a
+  fixed-capacity list, row-gathered in brick-major layout, updated with the
+  exact dense math, and scattered back.
+
+Classification uses min/max depth mip pyramids and interval arithmetic on
+each brick's bounding sphere; every test errs toward ACTIVE, so the result
+is bit-identical to dense fusion (verified by tests) while the depth-gather
+count drops from 16.7M to ``cap * 512`` (2-4M typical).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csfd.single import CSFD, lift
+from ..geometry.intrinsics import Intrinsics
+from .fusion import VolumeConfig, VolumeState, _voxel_update
+from .sampling import gather2d
+
+BRICK = 8
+MIP_LEVELS = (8, 16, 32, 64, 128)  # tile sizes in pixels
+
+
+def _mip_sizes(H, W):
+    return [ts for ts in MIP_LEVELS if H // ts >= 1 and W // ts >= 1]
+
+
+def _depth_mips(depth_m: jnp.ndarray):
+    """Per-tile (min over valid, max over valid, all-valid) at several tile
+    sizes. Invalid (0) pixels -> +inf / -inf so they never bound."""
+    H, W = depth_m.shape
+    valid = depth_m > 0.0
+    sizes = _mip_sizes(H, W)
+    mins, maxs, allv = [], [], []
+    for ts in sizes:
+        h, w = H // ts, W // ts
+        d = depth_m[: h * ts, : w * ts].reshape(h, ts, w, ts)
+        v = valid[: h * ts, : w * ts].reshape(h, ts, w, ts)
+        mins.append(jnp.min(jnp.where(v, d, jnp.inf), axis=(1, 3)))
+        maxs.append(jnp.max(jnp.where(v, d, -jnp.inf), axis=(1, 3)))
+        allv.append(jnp.all(v, axis=(1, 3)))
+    return sizes, mins, maxs, allv
+
+
+def _footprint_bounds(mips, level, cu, cv):
+    """2x2-cell conservative (min, max, all_valid) at a chosen mip level.
+
+    ``level`` is per-brick; we evaluate all levels and select (the arrays are
+    tiny), gathering 4 cells per level."""
+    sizes, mins, maxs, allv = mips
+    out_min, out_max, out_all = [], [], []
+    for li, ts in enumerate(sizes):
+        mh, mw = mins[li].shape
+        cu0 = jnp.clip(cu // ts, 0, mw - 1)
+        cv0 = jnp.clip(cv // ts, 0, mh - 1)
+
+        def cell(dy, dx, arr, fill):
+            return gather2d(arr, jnp.clip(cv0 + dy, 0, mh - 1), jnp.clip(cu0 + dx, 0, mw - 1), fill)
+
+        mn = jnp.minimum(
+            jnp.minimum(cell(0, 0, mins[li], jnp.inf), cell(0, 1, mins[li], jnp.inf)),
+            jnp.minimum(cell(1, 0, mins[li], jnp.inf), cell(1, 1, mins[li], jnp.inf)),
+        )
+        mx = jnp.maximum(
+            jnp.maximum(cell(0, 0, maxs[li], -jnp.inf), cell(0, 1, maxs[li], -jnp.inf)),
+            jnp.maximum(cell(1, 0, maxs[li], -jnp.inf), cell(1, 1, maxs[li], -jnp.inf)),
+        )
+        av = (
+            cell(0, 0, allv[li].astype(jnp.float32), 0.0)
+            * cell(0, 1, allv[li].astype(jnp.float32), 0.0)
+            * cell(1, 0, allv[li].astype(jnp.float32), 0.0)
+            * cell(1, 1, allv[li].astype(jnp.float32), 0.0)
+        ) > 0.5
+        out_min.append(mn)
+        out_max.append(mx)
+        out_all.append(av)
+    sel = lambda lst: jnp.select([level == i for i in range(len(sizes))], lst, lst[-1])
+    return sel(out_min), sel(out_max), sel(out_all)
+
+
+def classify_bricks(
+    depth_m: jnp.ndarray,
+    r_v2c_v: jnp.ndarray,
+    t_v2c_v: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    res: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Per-brick class: 0 = NONE, 1 = FAR, 2 = ACTIVE."""
+    X, Y, Z = res
+    nb = (X // BRICK, Y // BRICK, Z // BRICK)
+    vs = cfg.voxel_size
+    H, W = depth_m.shape
+
+    bx = (jnp.arange(nb[0], dtype=jnp.float32) + 0.5)[:, None, None] * (BRICK * vs)
+    by = (jnp.arange(nb[1], dtype=jnp.float32) + 0.5)[None, :, None] * (BRICK * vs)
+    bz = (jnp.arange(nb[2], dtype=jnp.float32) + 0.5)[None, None, :] * (BRICK * vs)
+    r = 0.5 * BRICK * vs * float(np.sqrt(3.0)) + vs  # bounding sphere + slack
+
+    R, t = r_v2c_v, t_v2c_v
+    cx_ = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
+    cy_ = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
+    cz_ = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+
+    dist_c = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+    dist_min = jnp.maximum(dist_c - r, 1e-3)
+    dist_max = dist_c + r
+
+    fully_behind = (cz_ + r) < 0.0
+    z_safe = (cz_ - r) > 1e-3
+
+    # projected centre + conservative pixel radius
+    u = intr.fx * cx_ / cz_ + intr.cx
+    v = intr.fy * cy_ / cz_ + intr.cy
+    fmax = max(abs(intr.fx), abs(intr.fy))
+    pr = jnp.where(z_safe, r * fmax / jnp.maximum(cz_ - r, 1e-3) + 2.0, jnp.inf)
+
+    fully_outside = z_safe & (
+        (u + pr < 2.0) | (u - pr > W - 2.0) | (v + pr < 2.0) | (v - pr > H - 2.0)
+    )
+    fully_inside = z_safe & (u - pr >= 2.0) & (u + pr <= W - 2.0) & (v - pr >= 2.0) & (v + pr <= H - 2.0)
+
+    # choose the mip whose 2x2-cell window covers the footprint: cell >= pr
+    mips = _depth_mips(depth_m)
+    sizes = mips[0]
+    level = jnp.searchsorted(jnp.asarray(sizes, jnp.float32), pr.reshape(-1)).reshape(pr.shape)
+    level_ok = level < len(sizes)
+    level = jnp.clip(level, 0, len(sizes) - 1)
+
+    cu = jnp.clip((u - pr).astype(jnp.int32), 0, W - 1)
+    cv = jnp.clip((v - pr).astype(jnp.int32), 0, H - 1)
+    dmin, dmax, all_valid = _footprint_bounds(mips, level, cu, cv)
+
+    # the mip must actually cover the footprint (edge tiles beyond h*ts are
+    # dropped from the pyramid -> not conservative there)
+    ts_sel = jnp.asarray(sizes, jnp.float32)[level]
+    cov_w = (W // ts_sel.astype(jnp.int32)) * ts_sel.astype(jnp.int32)
+    cov_h = (H // ts_sel.astype(jnp.int32)) * ts_sel.astype(jnp.int32)
+    covered = (u + pr <= cov_w.astype(jnp.float32)) & (v + pr <= cov_h.astype(jnp.float32))
+
+    classify_ok = z_safe & fully_inside & level_ok & covered
+    lam_max = float(np.sqrt(
+        ((W / 2) / min(abs(intr.fx), abs(intr.fy))) ** 2
+        + ((H / 2) / min(abs(intr.fx), abs(intr.fy))) ** 2
+        + 1.0
+    ))
+
+    # NONE: entirely beyond the band behind the surface (lam >= 1 lower
+    # bound on the voxel side, lam_max upper bound on the sample side)
+    sdf_upper = dmax * lam_max - dist_min
+    none_by_band = classify_ok & (sdf_upper < -cfg.trunc_dist)
+    # FAR: every voxel valid and provably sdf > trunc
+    sdf_lower = dmin * 1.0 - dist_max
+    far = classify_ok & all_valid & (sdf_lower > cfg.trunc_dist)
+
+    none = fully_behind | fully_outside | none_by_band
+    cls = jnp.where(none, 0, 2)
+    cls = jnp.where(far & ~none, 1, cls)
+    return cls.astype(jnp.int32)
+
+
+def to_bricks(v: jnp.ndarray) -> jnp.ndarray:
+    X, Y, Z = v.shape
+    return (
+        v.reshape(X // BRICK, BRICK, Y // BRICK, BRICK, Z // BRICK, BRICK)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(-1, BRICK * BRICK * BRICK)
+    )
+
+
+def from_bricks(b: jnp.ndarray, res) -> jnp.ndarray:
+    X, Y, Z = res
+    return (
+        b.reshape(X // BRICK, Y // BRICK, Z // BRICK, BRICK, BRICK, BRICK)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(X, Y, Z)
+    )
+
+
+def integrate_brick(
+    vol: VolumeState,
+    depth_m: jnp.ndarray,
+    r_v2c: CSFD,
+    t_v2c: CSFD,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    bi_threshold: float = 0.0,
+    cap: int = 8192,
+    x_offset: int = 0,
+):
+    """Brick-compacted fusion. Returns (VolumeState, overflowed_flag).
+
+    ``cap`` bounds the ACTIVE brick list (and thus the static depth-gather
+    count at ``cap*512``). If a frame exceeds it, the overflow bricks are
+    left unfused this frame and the flag is set — callers may retry with the
+    dense path (the default engine asserts this does not happen on the
+    canonical workloads)."""
+    res = vol.value.shape
+    X, Y, Z = res
+    NB = (X // BRICK) * (Y // BRICK) * (Z // BRICK)
+    vs = cfg.voxel_size
+
+    cls = classify_bricks(depth_m, r_v2c.v, t_v2c.v, intr, cfg, res).reshape(-1)
+
+    # ---- FAR pass: elementwise, no gathers --------------------------------
+    far_mask_b = (cls == 1).reshape(X // BRICK, Y // BRICK, Z // BRICK)
+    far_mask = jnp.repeat(
+        jnp.repeat(jnp.repeat(far_mask_b, BRICK, 0), BRICK, 1), BRICK, 2
+    )
+    w = vol.weight
+    w_new = jnp.minimum(w + 1.0, float(cfg.max_weight))
+    # far branch: tsdf sample = (1, 0) (TsdfFusion.cu:154-155)
+    val_far = (vol.value * w + 1.0) / (w + 1.0)
+    grd_far = (vol.grad * w) / (w + 1.0)
+    value = jnp.where(far_mask, val_far, vol.value)
+    grad = jnp.where(far_mask, grd_far, vol.grad)
+    weight = jnp.where(far_mask, w_new, vol.weight)
+
+    # ---- ACTIVE pass: compact, gather rows, exact update, scatter ---------
+    active = cls == 2
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    n_active = pos[-1] + 1
+    overflow = n_active > cap
+    slot = jnp.where(active & (pos < cap), pos, cap)
+    ids = jnp.full((cap + 1,), NB, jnp.int32).at[slot].set(
+        jnp.arange(NB, dtype=jnp.int32)
+    )[:cap]
+    valid_row = ids < NB
+    ids_c = jnp.minimum(ids, NB - 1)
+
+    vb = to_bricks(value)
+    gb = to_bricks(grad)
+    wb = to_bricks(weight)
+    v_rows = jnp.take(vb, ids_c, axis=0)
+    g_rows = jnp.take(gb, ids_c, axis=0)
+    w_rows = jnp.take(wb, ids_c, axis=0)
+
+    # voxel metric coords for each row: brick origin + local offsets
+    nby, nbz = Y // BRICK, Z // BRICK
+    bx = ids_c // (nby * nbz)
+    by = (ids_c // nbz) % nby
+    bz = ids_c % nbz
+    lx = (np.arange(BRICK * BRICK * BRICK) // (BRICK * BRICK)).astype(np.float32)
+    ly = ((np.arange(BRICK * BRICK * BRICK) // BRICK) % BRICK).astype(np.float32)
+    lz = (np.arange(BRICK * BRICK * BRICK) % BRICK).astype(np.float32)
+    gx = ((bx * BRICK).astype(jnp.float32)[:, None] + lx[None, :] + 0.5 + x_offset) * vs
+    gy = ((by * BRICK).astype(jnp.float32)[:, None] + ly[None, :] + 0.5) * vs
+    gz = ((bz * BRICK).astype(jnp.float32)[:, None] + lz[None, :] + 0.5) * vs
+
+    v_new, g_new, w_new_rows = _voxel_update(
+        gx, gy, gz, v_rows, g_rows, w_rows, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold
+    )
+    keep = valid_row[:, None]
+    v_new = jnp.where(keep, v_new, v_rows)
+    g_new = jnp.where(keep, g_new, g_rows)
+    w_new_rows = jnp.where(keep, w_new_rows, w_rows)
+
+    scatter_ids = jnp.where(valid_row, ids_c, NB)  # NB = dropped row
+    vb = jnp.concatenate([vb, jnp.zeros((1, vb.shape[1]), vb.dtype)]).at[scatter_ids].set(v_new)[:NB]
+    gb = jnp.concatenate([gb, jnp.zeros((1, gb.shape[1]), gb.dtype)]).at[scatter_ids].set(g_new)[:NB]
+    wb = jnp.concatenate([wb, jnp.zeros((1, wb.shape[1]), wb.dtype)]).at[scatter_ids].set(w_new_rows)[:NB]
+
+    out = VolumeState(
+        value=from_bricks(vb, res), grad=from_bricks(gb, res), weight=from_bricks(wb, res)
+    )
+    return out, overflow
