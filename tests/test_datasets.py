@@ -1,0 +1,89 @@
+"""File-based dataset loaders (ICL, 7-Scenes) and YAML config round-trip."""
+
+import os
+
+import numpy as np
+
+from xslam_tpu.io.config import SlamConfig, load_config
+from xslam_tpu.io.dataset import ICLDataset, SevenScenesDataset, make_dataset
+
+
+def _write_png16(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr.astype(np.uint16), mode="I;16").save(path)
+
+
+def test_icl_dataset(tmp_path):
+    """ICL layout: depth/<i>.png (factor 5), livingRoom1n.gt.sim 4-row
+    blocks (Dataset.cpp:69-125)."""
+    root = tmp_path / "icl"
+    (root / "depth").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    poses = []
+    with open(root / "livingRoom1n.gt.sim", "w") as f:
+        for i in range(3):
+            d = (rng.integers(1000, 20000, (24, 32))).astype(np.uint16)
+            _write_png16(str(root / "depth" / f"{i}.png"), d)
+            pose = np.eye(4)
+            pose[:3, 3] = [i * 0.1, 0, 0]
+            poses.append(pose)
+            for r in range(3):
+                f.write(" ".join(f"{x:.6f}" for x in pose[r]) + "\n")
+            f.write("\n")  # blank 4th line per block
+
+    ds = ICLDataset(str(root), 0, 2)
+    assert len(ds) == 3
+    d0 = ds.get_depth(0)
+    assert d0.dtype == np.uint16
+    raw = np.asarray(_read_back(str(root / "depth" / "0.png")))
+    np.testing.assert_array_equal(d0, raw // 5)
+    np.testing.assert_allclose(ds.get_pose(1)[:3, 3], [0.1, 0, 0])
+
+
+def _read_back(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path), dtype=np.uint16)
+
+
+def test_seven_scenes_dataset(tmp_path):
+    """7-Scenes layout: seq-N/frame-XXXXXX.depth.png + .pose.txt
+    (Dataset.cpp:13-39)."""
+    root = tmp_path / "7s"
+    (root / "seq-01").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        d = (rng.integers(500, 4000, (24, 32))).astype(np.uint16)
+        _write_png16(str(root / "seq-01" / f"frame-{i:06d}.depth.png"), d)
+        pose = np.eye(4)
+        pose[:3, 3] = [0, i * 0.2, 0]
+        np.savetxt(str(root / "seq-01" / f"frame-{i:06d}.pose.txt"), pose)
+
+    ds = SevenScenesDataset(str(root), [0], [1], ["seq-01"])
+    assert len(ds) == 2
+    assert ds.get_depth(1).shape == (24, 32)
+    np.testing.assert_allclose(ds.get_pose(1)[:3, 3], [0, 0.2, 0])
+
+
+def test_yaml_config_roundtrip(tmp_path):
+    """The reference key set (ICL_traj2.yaml names) loads into SlamConfig."""
+    cfg = load_config("configs/ICL_traj2.yaml")
+    assert cfg.tsdf_size == (256, 256, 256)
+    assert cfg.voxel_size == 0.03
+    assert cfg.fy == -480.0
+    assert cfg.num_levels == 3
+    assert cfg.icp_iterations == (5, 4, 3)
+    assert abs(cfg.trunc_dist - 0.09) < 1e-6
+    assert abs(cfg.angle_thres_sine - np.sin(np.deg2rad(15))) < 1e-6
+    assert cfg.max_integration_weight == 100
+    assert not cfg.use_gt_pose
+    # world2volume carries the init offset (KinectFusionReconstruction.cpp:26-38)
+    np.testing.assert_allclose(np.asarray(cfg.world2volume)[:3, 3], [3.2, 3.2, 3.2])
+
+
+def test_make_dataset_synthetic():
+    cfg = SlamConfig(dataset_format="synthetic", end_frame=2)
+    ds = make_dataset(cfg)
+    assert len(ds) == 3
+    assert ds.get_depth(0).dtype == np.uint16

@@ -71,8 +71,11 @@ class ICLDataset(Dataset):
 
     @staticmethod
     def _read_sim_poses(path: str, start: int, end: int) -> List[np.ndarray]:
+        # 4 file lines per frame (3 matrix rows + separator), indexed by raw
+        # line number like the reference (Dataset.cpp:90-118) — blank lines
+        # count.
         with open(path) as f:
-            lines = [ln.split() for ln in f if ln.strip()]
+            lines = [ln.split() for ln in f]
         poses = []
         for i in range(start, end + 1):
             block = lines[4 * i : 4 * i + 3]
