@@ -130,25 +130,21 @@ def _pose_estimate(
     ok = jnp.bool_(True)
     inliers = jnp.int32(0)
 
+    # per-level lax.scan over iterations (identical body per level) keeps the
+    # HLO ~12x smaller than unrolling the reference's {5,4,3} loop
     for level in reversed(range(config.num_levels)):
         iters = config.icp_iterations[level]
-        for _ in range(iters):
+
+        def body(carry, _, level=level):
+            r_curr, t_curr, ok = carry
             system = icp.build_system(
-                r_curr,
-                t_curr,
-                vmaps_curr[level],
-                nmaps_curr[level],
-                r_prev_inv,
-                t_prev,
-                intr.level(level),
-                state.vmaps_prev[level],
-                state.nmaps_prev[level],
-                config.dist_thres,
-                config.angle_thres_sine,
+                r_curr, t_curr,
+                vmaps_curr[level], nmaps_curr[level],
+                r_prev_inv, t_prev, intr.level(level),
+                state.vmaps_prev[level], state.nmaps_prev[level],
+                config.dist_thres, config.angle_thres_sine,
             )
             x, step_ok = icp.solve_increment(system)
-            ok = ok & step_ok
-            inliers = system.inlier_count
 
             def comp(i):
                 return CSFD(x.v[i], x.g[i])
@@ -168,6 +164,12 @@ def _pose_estimate(
             r_curr = CSFD(
                 jnp.where(step_ok, r_new.v, r_curr.v), jnp.where(step_ok, r_new.g, r_curr.g)
             )
+            return (r_curr, t_curr, ok & step_ok), system.inlier_count
+
+        (r_curr, t_curr, ok), level_inliers = jax.lax.scan(
+            body, (r_curr, t_curr, ok), None, length=iters
+        )
+        inliers = level_inliers[-1]
 
     rows = [
         [se3.elem(r_curr, i, 0), se3.elem(r_curr, i, 1), se3.elem(r_curr, i, 2),

@@ -96,7 +96,9 @@ def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
     inliers = jnp.int32(0)
 
     for level in reversed(range(config.num_levels)):
-        for _ in range(config.icp_iterations[level]):
+
+        def body(carry, _, level=level):
+            r_curr, t_curr, ok = carry
             system = sharded_icp_system(
                 r_curr, t_curr, vmaps_curr[level], nmaps_curr[level],
                 r_prev_inv, t_prev, intr.level(level),
@@ -104,14 +106,18 @@ def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
                 config.dist_thres, config.angle_thres_sine, mesh,
             )
             x, step_ok = icp.solve_increment(system)
-            ok = ok & step_ok
-            inliers = system.inlier_count
             inc = se3.euler_xyz_increment(*[CSFD(x.v[i], x.g[i]) for i in range(6)])
             r_inc, t_inc = se3.rotation(inc), se3.translation(inc)
             t_new = se3.matvec(r_inc, t_curr) + t_inc
             r_new = se3.matmul(r_inc, r_curr)
             t_curr = CSFD(jnp.where(step_ok, t_new.v, t_curr.v), jnp.where(step_ok, t_new.g, t_curr.g))
             r_curr = CSFD(jnp.where(step_ok, r_new.v, r_curr.v), jnp.where(step_ok, r_new.g, r_curr.g))
+            return (r_curr, t_curr, ok & step_ok), system.inlier_count
+
+        (r_curr, t_curr, ok), level_inliers = jax.lax.scan(
+            body, (r_curr, t_curr, ok), None, length=config.icp_iterations[level]
+        )
+        inliers = level_inliers[-1]
 
     rows = [
         [se3.elem(r_curr, i, 0), se3.elem(r_curr, i, 1), se3.elem(r_curr, i, 2),
