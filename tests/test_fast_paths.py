@@ -71,3 +71,11 @@ def test_brick_fusion_engine_e2e():
     np.testing.assert_array_equal(
         np.asarray(s1.volume.weight), np.asarray(s2.volume.weight)
     )
+
+
+def test_icp_fixed_assoc_tracking():
+    """Fixed-correspondence inner iterations track within the envelope."""
+    ate_ref, _ = _run(small_config(end_frame=6))
+    ate_fixed, _ = _run(small_config(end_frame=6, icp_fixed_assoc=True))
+    assert ate_fixed < 0.06, (ate_ref, ate_fixed)
+    assert ate_fixed < max(2.5 * ate_ref, 0.02), (ate_ref, ate_fixed)

@@ -75,6 +75,10 @@ class SlamConfig:
     # KinectFusionReconstruction.cpp:54)
     num_levels: int = 3
     icp_iterations: Tuple[int, ...] = (5, 4, 3)
+    # re-run the projective association every iteration (reference
+    # behaviour) or once per pyramid level (fixed-correspondence GN inner
+    # steps — gather-free iterations, ~3x fewer ICP gathers)
+    icp_fixed_assoc: bool = False
     dist_thres: float = 0.10
     angle_thres_deg: float = 15.0
 

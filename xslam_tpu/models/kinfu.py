@@ -134,8 +134,15 @@ def _pose_estimate(
     # HLO ~12x smaller than unrolling the reference's {5,4,3} loop
     for level in reversed(range(config.num_levels)):
         iters = config.icp_iterations[level]
+        if config.icp_fixed_assoc:
+            level_assoc = icp.associate(
+                r_curr, t_curr, vmaps_curr[level], r_prev_inv, t_prev,
+                intr.level(level), state.vmaps_prev[level], state.nmaps_prev[level],
+            )
+        else:
+            level_assoc = None
 
-        def body(carry, _, level=level):
+        def body(carry, _, level=level, level_assoc=level_assoc):
             r_curr, t_curr, ok = carry
             system = icp.build_system(
                 r_curr, t_curr,
@@ -143,6 +150,7 @@ def _pose_estimate(
                 r_prev_inv, t_prev, intr.level(level),
                 state.vmaps_prev[level], state.nmaps_prev[level],
                 config.dist_thres, config.angle_thres_sine,
+                assoc=level_assoc,
             )
             x, step_ok = icp.solve_increment(system)
 

@@ -41,35 +41,32 @@ def _gather_map(m: CSFD, iy, ix) -> CSFD:
     return CSFD(vals, grads)
 
 
-def build_system(
+class Association(NamedTuple):
+    """Cached projective correspondences: the gathered previous-model
+    vertices/normals and the projection validity mask."""
+
+    nprev_g: CSFD
+    vprev_g: CSFD
+    in_img: jnp.ndarray
+
+
+def associate(
     r_curr: CSFD,
     t_curr: CSFD,
     vmap_curr: jnp.ndarray,
-    nmap_curr: jnp.ndarray,
     r_prev_inv: CSFD,
     t_prev: CSFD,
     intr: Intrinsics,
     vmap_g_prev: CSFD,
     nmap_g_prev: CSFD,
-    dist_thres: float,
-    angle_thres: float,
-) -> IcpSystem:
-    """One ICP iteration's normal equations (``search_newton`` +
-    ``combinedKernel``, ICP.cu:196-281).
-
-    ``vmap_curr``/``nmap_curr`` are real (3, H, W) camera-space maps of the
-    current frame (their imaginary lanes are always zero in the reference
-    too); the previous-model maps are dual world-space maps from raycasting.
-
-    The projection bounds come from the *previous* maps: under row-sharded
-    multi-chip ICP the current maps are a row-slab while the projection
-    target stays the full image.
-    """
+) -> Association:
+    """Projective data association (``search_newton`` projection + fetches,
+    ICP.cu:196-231): transform current vertices into the previous camera,
+    project, and gather the model maps. This is the gather-heavy half of an
+    ICP iteration; it can be cached across inner iterations
+    (fixed-correspondence Gauss-Newton) via ``SlamConfig.icp_fixed_assoc``."""
     H, W = vmap_g_prev.v.shape[-2:]
-
-    ncurr = lift(nmap_curr)
     vcurr = lift(vmap_curr)
-
     vcurr_g = vec3.matvec(r_curr, vcurr) + CSFD(
         t_curr.v[:, None, None], t_curr.g[:, None, None]
     )
@@ -85,6 +82,50 @@ def build_system(
 
     nprev_g = _gather_map(nmap_g_prev, uy, ux)
     vprev_g = _gather_map(vmap_g_prev, uy, ux)
+    return Association(nprev_g=nprev_g, vprev_g=vprev_g, in_img=in_img)
+
+
+def build_system(
+    r_curr: CSFD,
+    t_curr: CSFD,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    r_prev_inv: CSFD,
+    t_prev: CSFD,
+    intr: Intrinsics,
+    vmap_g_prev: CSFD,
+    nmap_g_prev: CSFD,
+    dist_thres: float,
+    angle_thres: float,
+    assoc: "Association | None" = None,
+) -> IcpSystem:
+    """One ICP iteration's normal equations (``search_newton`` +
+    ``combinedKernel``, ICP.cu:196-281).
+
+    ``vmap_curr``/``nmap_curr`` are real (3, H, W) camera-space maps of the
+    current frame (their imaginary lanes are always zero in the reference
+    too); the previous-model maps are dual world-space maps from raycasting.
+
+    The projection bounds come from the *previous* maps: under row-sharded
+    multi-chip ICP the current maps are a row-slab while the projection
+    target stays the full image.
+
+    If ``assoc`` is given, the projection+gather step is skipped and the
+    cached correspondences are used (validity gates are still re-evaluated
+    against the current pose — all elementwise).
+    """
+    if assoc is None:
+        assoc = associate(
+            r_curr, t_curr, vmap_curr, r_prev_inv, t_prev, intr,
+            vmap_g_prev, nmap_g_prev,
+        )
+    nprev_g, vprev_g, in_img = assoc.nprev_g, assoc.vprev_g, assoc.in_img
+
+    ncurr = lift(nmap_curr)
+    vcurr = lift(vmap_curr)
+    vcurr_g = vec3.matvec(r_curr, vcurr) + CSFD(
+        t_curr.v[:, None, None], t_curr.g[:, None, None]
+    )
 
     dist = vec3.norm(vprev_g - vcurr_g)
     ncurr_g = vec3.matvec(r_curr, ncurr)
