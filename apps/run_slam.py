@@ -44,7 +44,11 @@ def main():
     if args.frames is not None:
         config.end_frame = args.frames
     dataset = make_dataset(config)
-    n_frames = min(len(dataset), config.end_frame - config.start_frame)
+    step = max(1, config.frame_step)
+    frame_ids = list(
+        range(config.start_frame, min(len(dataset) + config.start_frame, config.end_frame), step)
+    )
+    n_frames = len(frame_ids)
     print(f"frame num: {n_frames}")
 
     print("initialize engine......")
@@ -62,9 +66,9 @@ def main():
     total_time = 0.0
     timed_frames = 0
     print("start slam!")
-    for i in range(n_frames):
-        depth = dataset.get_depth(config.start_frame + i)
-        gt_pose = dataset.get_pose(config.start_frame + i) if config.use_gt_pose else None
+    for i, fid in enumerate(frame_ids):
+        depth = dataset.get_depth(fid)
+        gt_pose = dataset.get_pose(fid) if config.use_gt_pose else None
 
         t0 = time.perf_counter()
         state, res = engine.process_frame(state, depth, gt_pose=gt_pose)
@@ -76,12 +80,10 @@ def main():
         engine.pose_log.append(pose_c2w)
 
         if config.log_slam_pose:
-            save_pose(os.path.join(out_dir, "slam"), i, pose_c2w)
+            save_pose(os.path.join(out_dir, "slam"), fid, pose_c2w)
         if config.log_gt_pose:
-            gt = np.linalg.inv(dataset.get_pose(config.start_frame)) @ dataset.get_pose(
-                config.start_frame + i
-            )
-            save_pose(os.path.join(out_dir, "gt"), i, gt)
+            gt = np.linalg.inv(dataset.get_pose(frame_ids[0])) @ dataset.get_pose(fid)
+            save_pose(os.path.join(out_dir, "gt"), fid, gt)
         if not bool(res.align_ok):
             print(f"frame {i}: align failed!")
 
@@ -107,7 +109,7 @@ def main():
     # in-repo ATE evaluation (the reference compares pose dirs offline)
     from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
 
-    gt_poses = [dataset.get_pose(config.start_frame + i) for i in range(n_frames)]
+    gt_poses = [dataset.get_pose(fid) for fid in frame_ids]
     ate = ate_rmse(normalize_to_first(engine.pose_log), normalize_to_first(gt_poses))
     print(f"ATE RMSE = {ate:.5f} m")
 

@@ -130,5 +130,8 @@ def make_dataset(config) -> Dataset:
     if fmt == "synthetic":
         from .synthetic import SyntheticDataset
 
-        return SyntheticDataset(n_frames=config.end_frame - config.start_frame + 1)
+        return SyntheticDataset(
+            n_frames=config.end_frame - config.start_frame + 1,
+            intr=config.intrinsics,
+        )
     raise ValueError(f"unknown dataset format: {config.dataset_format}")

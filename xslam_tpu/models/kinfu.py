@@ -110,6 +110,34 @@ class XSlamEngine:
     def log_pose(self, result: FrameResult):
         self.pose_log.append(np.asarray(result.camera2world.v))
 
+    def export_model_maps_ply(self, state: SlamState, path: str, level: int = 0):
+        """Dump the raycast model maps of ``level`` as a point cloud —
+        the debugging helper ``generatePrevPC``
+        (KinectFusionReconstruction.cpp:480-508)."""
+        from ..io.ply import export_ply
+
+        v = np.asarray(state.vmaps_prev[level].v)
+        n = np.asarray(state.nmaps_prev[level].v)
+        ok = ~np.isnan(v[0]) & ~np.isnan(n[0])
+        export_ply(path, v[:, ok].T, n[:, ok].T)
+
+    def export_current_maps_ply(self, depth_u16, path: str, level: int = 0):
+        """Current-frame camera-space maps as a point cloud
+        (``generateCurrPC``, KinectFusionReconstruction.cpp:449-478)."""
+        import jax.numpy as jnp
+
+        from ..io.ply import export_ply
+        from ..ops import preprocess
+
+        d = preprocess.bilateral_filter(jnp.asarray(depth_u16))
+        for _ in range(level):
+            d = preprocess.pyr_down(d)
+        vmap = preprocess.create_vmap(self.intr.level(level), d)
+        nmap = preprocess.create_nmap(vmap)
+        v, n = np.asarray(vmap), np.asarray(nmap)
+        ok = ~np.isnan(v[0]) & ~np.isnan(n[0])
+        export_ply(path, v[:, ok].T, n[:, ok].T)
+
 
 # --------------------------------------------------------------------------
 def _pose_estimate(
