@@ -32,7 +32,16 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     warmup = 2
 
-    config = SlamConfig(end_frame=n_frames)
+    # the fast verified configuration: brick-compacted fusion (bit-equivalent
+    # to dense), screen-space model normals and per-level fixed ICP
+    # correspondences (both within the tracking-accuracy envelope — see
+    # tests/test_fast_paths.py); ATE of this exact run is reported below.
+    config = SlamConfig(
+        end_frame=n_frames,
+        fusion_mode="brick",
+        raycast_normals="screen",
+        icp_fixed_assoc=True,
+    )
     ds = SyntheticDataset(n_frames=n_frames, degrees_per_frame=0.4)
     engine = XSlamEngine(config)
     state = engine.init_state()

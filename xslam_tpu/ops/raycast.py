@@ -234,6 +234,23 @@ def brick_distance_field(value: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray
     return dist
 
 
+JUMP_BASE = 1000.0  # sentinel offset encoding brick-jump distances
+
+
+def skip_volume(value: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Pack the brick distance field into the value volume: voxels in bricks
+    at L-inf brick-distance >= 2 from any event-capable brick store
+    ``JUMP_BASE + dist`` (their true TSDF values can never be read by a
+    correct march — no event's sample lands there), everything else stores
+    the real value. One gather then serves both the skip decision and the
+    sample."""
+    dist = brick_distance_field(value, weight)
+    dist_vox = jnp.repeat(
+        jnp.repeat(jnp.repeat(dist, BRICK, 0), BRICK, 1), BRICK, 2
+    ).astype(jnp.float32)
+    return jnp.where(dist_vox >= 2.0, JUMP_BASE + dist_vox, value)
+
+
 def march_skip(
     value: jnp.ndarray,
     weight: jnp.ndarray,
@@ -246,19 +263,20 @@ def march_skip(
     virtual skipped samples can never produce a crossing or a sign-death, and
     a sentinel positive ``prev`` preserves the event conditions exactly.
     Dynamic trip count via ``lax.while_loop`` (the per-ray early-out the
-    CUDA reference gets from its ``break``)."""
+    CUDA reference gets from its ``break``); one gather per step from the
+    jump-packed volume."""
     X, Y, Z = value.shape
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     brick_m = BRICK * voxel
-    dist = brick_distance_field(value, weight)
+    packed = skip_volume(value, weight)
 
     start_v = ray_start.v[:, None, None]
     dirs_v = ray_dir.v
     H, W = dirs_v.shape[-2:]
 
-    def read_value(g):
-        return gather3d(value, g[0], g[1], g[2]) + 1e-5
+    def read_packed(g):
+        return gather3d(packed, g[0], g[1], g[2]) + 1e-5
 
     def in_global(g):
         return (
@@ -271,7 +289,7 @@ def march_skip(
     g0c = jnp.stack(
         [jnp.clip(g0[0], 0, X - 1), jnp.clip(g0[1], 0, Y - 1), jnp.clip(g0[2], 0, Z - 1)]
     )
-    prev0 = read_value(g0c)
+    prev0 = jnp.minimum(read_packed(g0c), 1.0)  # packed cells read as free space
 
     inf = jnp.full((H, W), INF_T, jnp.float32)
     t0 = jnp.full((H, W), RAY_MIN_M, jnp.float32)
@@ -288,11 +306,11 @@ def march_skip(
         g = jnp.floor(p / voxel).astype(jnp.int32)
         inside = in_global(g)
 
-        d = gather3d(dist.astype(jnp.float32), g[0] // BRICK, g[1] // BRICK, g[2] // BRICK,
-                     fill=0.0).astype(jnp.int32)
-        can_jump = inside & (d >= 2) & ~done
-
-        tsdf = read_value(g)
+        c = read_packed(g)
+        is_jump = c >= JUMP_BASE - 0.5
+        d = c - JUMP_BASE
+        can_jump = inside & is_jump & ~done
+        tsdf = c  # true value wherever is_jump is False
 
         active = ~done
         fine = active & ~can_jump
@@ -303,7 +321,7 @@ def march_skip(
         t_dead = jnp.where(death, t, t_dead)
         done = done | crossing | death | (t_next >= RAY_MAX_M)
 
-        jump = jnp.maximum(step, (d.astype(jnp.float32) - 1.0) * brick_m)
+        jump = jnp.maximum(step, (d - 1.0) * brick_m)
         t_new = jnp.where(can_jump, t + jump, t_next)
         prev_new = jnp.where(can_jump, 1.0, tsdf)
         return (t_new, prev_new, t_found, t_dead, done)
