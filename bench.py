@@ -29,7 +29,7 @@ def main():
     from xslam_tpu.models.kinfu import XSlamEngine
     from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     warmup = 2
 
     # the fast verified configuration: brick-compacted fusion (bit-equivalent

@@ -96,6 +96,9 @@ def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
     inliers = jnp.int32(0)
 
     for level in reversed(range(config.num_levels)):
+        # (icp_fixed_assoc is handled inside build_system on the single-chip
+        # path; the sharded path re-associates every iteration — association
+        # gathers are already split across the mesh)
 
         def body(carry, _, level=level):
             r_curr, t_curr, ok = carry
