@@ -79,6 +79,10 @@ class SlamConfig:
     # behaviour) or once per pyramid level (fixed-correspondence GN inner
     # steps — gather-free iterations, ~3x fewer ICP gathers)
     icp_fixed_assoc: bool = False
+    # Levenberg-style diagonal damping for the 6x6 ICP solves (0 = pure
+    # Gauss-Newton, the reference's actual behaviour; its use_LM flag is
+    # accepted but ignored, KinectFusionReconstruction.cpp:161-175)
+    icp_damping: float = 0.0
     dist_thres: float = 0.10
     angle_thres_deg: float = 15.0
 

@@ -180,7 +180,7 @@ def _pose_estimate(
                 config.dist_thres, config.angle_thres_sine,
                 assoc=level_assoc,
             )
-            x, step_ok = icp.solve_increment(system)
+            x, step_ok = icp.solve_increment(system, damping=config.icp_damping)
 
             def comp(i):
                 return CSFD(x.v[i], x.g[i])

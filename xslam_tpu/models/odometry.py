@@ -103,7 +103,7 @@ def _process_frame(state: OdometryState, depth_u16, *, config: SlamConfig, intr)
                 r_prev_inv, t_prev, intr.level(level), vprev_w, nprev_w,
                 config.dist_thres, config.angle_thres_sine,
             )
-            x, step_ok = icp.solve_increment(system)
+            x, step_ok = icp.solve_increment(system, damping=config.icp_damping)
             inc = se3.euler_xyz_increment(*[CSFD(x.v[i], x.g[i]) for i in range(6)])
             r_inc, t_inc = se3.rotation(inc), se3.translation(inc)
             t_new = se3.matvec(r_inc, t_curr) + t_inc

@@ -201,12 +201,25 @@ def vec_sum(x: CSFD) -> CSFD:
     return CSFD(jnp.sum(x.v, axis=0), jnp.sum(x.g, axis=0))
 
 
-def solve_increment(system: IcpSystem) -> Tuple[CSFD, jnp.ndarray]:
+def solve_increment(system: IcpSystem, damping: float = 0.0) -> Tuple[CSFD, jnp.ndarray]:
     """Solve the 6x6 dual system with the reference's degeneracy guard
     (|det| < 1e-15 or NaN -> fail, KinectFusionReconstruction.cpp:203-210).
 
+    ``damping`` > 0 applies Levenberg-style scaled-diagonal damping
+    ``A + damping * diag(A)`` — the working realization of the reference's
+    dead LM scaffolding (``use_LM`` flag and damp/lambda fields,
+    KinectFusionReconstruction.h:74-79, accepted but ignored at
+    KinectFusionReconstruction.cpp:161-175).
+
     Returns (x = [alpha beta gamma tx ty tz] dual, ok flag).
     """
+    if damping > 0.0:
+        diag = jnp.diagonal(system.A.v)
+        system = IcpSystem(
+            A=CSFD(system.A.v + damping * jnp.diag(diag), system.A.g),
+            b=system.b,
+            inlier_count=system.inlier_count,
+        )
     det = jnp.linalg.det(system.A.v)
     ok = (jnp.abs(det) >= 1e-15) & ~jnp.isnan(det)
     safe_A = CSFD(

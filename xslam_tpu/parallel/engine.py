@@ -108,7 +108,7 @@ def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
                 state.vmaps_prev[level], state.nmaps_prev[level],
                 config.dist_thres, config.angle_thres_sine, mesh,
             )
-            x, step_ok = icp.solve_increment(system)
+            x, step_ok = icp.solve_increment(system, damping=config.icp_damping)
             inc = se3.euler_xyz_increment(*[CSFD(x.v[i], x.g[i]) for i in range(6)])
             r_inc, t_inc = se3.rotation(inc), se3.translation(inc)
             t_new = se3.matvec(r_inc, t_curr) + t_inc
