@@ -18,6 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honour CPU-forcing for tests/CI (sitecustomize pins the TPU otherwise)
+if os.environ.get("XSLAM_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,6 +23,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honour CPU-forcing for tests/CI (sitecustomize pins the TPU otherwise)
+if os.environ.get("XSLAM_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

@@ -122,3 +122,15 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(s3.volume.value), np.asarray(s1.volume.value), atol=1e-5
     )
+
+
+def test_mesh_ply_export(tmp_path):
+    vol, vol_cfg, _, _ = _fused_volume()
+    mesh = jax.jit(lambda v: extract.extract_mesh(v, vol_cfg, capacity=100_000))(vol)
+    n = int(mesh.count)
+    p = str(tmp_path / "mesh.ply")
+    ply.export_ply_mesh(p, np.asarray(mesh.vertices)[:n])
+    with open(p) as f:
+        head = f.read(400)
+    assert f"element vertex {3*n}" in head
+    assert f"element face {n}" in head

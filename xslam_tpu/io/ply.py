@@ -41,6 +41,26 @@ def export_ply(path: str, points: np.ndarray, normals: np.ndarray) -> None:
         np.savetxt(f, np.hstack([points, normals]), fmt="%.6g")
 
 
+def export_ply_mesh(path: str, triangles: np.ndarray) -> None:
+    """ASCII PLY with faces from a (T, 3, 3) triangle soup (vertices are
+    written per-triangle; viewers weld duplicates)."""
+    tris = np.asarray(triangles, np.float32).reshape(-1, 3, 3)
+    n_v = 3 * len(tris)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\ncomment Created by xslam_tpu\n"
+            f"element vertex {n_v}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(tris)}\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+        )
+        np.savetxt(f, tris.reshape(-1, 3), fmt="%.6g")
+        idx = np.arange(n_v).reshape(-1, 3)
+        faces = np.hstack([np.full((len(tris), 1), 3), idx])
+        np.savetxt(f, faces, fmt="%d")
+
+
 def read_ply(path: str):
     with open(path) as f:
         n = 0
