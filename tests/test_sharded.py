@@ -61,3 +61,26 @@ def test_sharded_tracking_accuracy(runs):
 def test_sharded_align_ok(runs):
     _, _, _, p_state = runs
     assert bool(p_state.last_align_ok)
+
+
+def test_sharded_fast_config_matches_single():
+    """Sharded engine with the fast options (brick fusion per shard, screen
+    normals, fixed assoc) matches the single-chip fast engine."""
+    cfg = small_config(
+        end_frame=3, fusion_mode="brick", fusion_brick_cap=1024,
+        raycast_normals="screen",
+    )
+    ds = small_dataset(3, degrees_per_frame=0.5)
+    single = XSlamEngine(cfg)
+    s_state = single.init_state()
+    sharded = ShardedXSlamEngine(cfg, n_devices=8)
+    p_state = sharded.init_state()
+    for i in range(3):
+        d = ds.get_depth(i)
+        s_state, s_res = single.process_frame(s_state, d)
+        p_state, p_res = sharded.process_frame(p_state, d)
+        np.testing.assert_allclose(
+            np.asarray(s_res.camera2world.v), np.asarray(p_res.camera2world.v), atol=1e-3
+        )
+    sw, pw = np.asarray(s_state.volume.weight), np.asarray(p_state.volume.weight)
+    assert (sw != pw).mean() < 1e-4

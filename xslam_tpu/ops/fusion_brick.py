@@ -104,14 +104,17 @@ def classify_bricks(
     intr: Intrinsics,
     cfg: VolumeConfig,
     res: Tuple[int, int, int],
+    x_offset=0,
 ) -> jnp.ndarray:
-    """Per-brick class: 0 = NONE, 1 = FAR, 2 = ACTIVE."""
+    """Per-brick class: 0 = NONE, 1 = FAR, 2 = ACTIVE. ``x_offset`` (voxels)
+    shifts the x origin for X-sharded slabs."""
     X, Y, Z = res
     nb = (X // BRICK, Y // BRICK, Z // BRICK)
     vs = cfg.voxel_size
     H, W = depth_m.shape
 
-    bx = (jnp.arange(nb[0], dtype=jnp.float32) + 0.5)[:, None, None] * (BRICK * vs)
+    x_off_m = x_offset * vs
+    bx = (jnp.arange(nb[0], dtype=jnp.float32) + 0.5)[:, None, None] * (BRICK * vs) + x_off_m
     by = (jnp.arange(nb[1], dtype=jnp.float32) + 0.5)[None, :, None] * (BRICK * vs)
     bz = (jnp.arange(nb[2], dtype=jnp.float32) + 0.5)[None, None, :] * (BRICK * vs)
     r = 0.5 * BRICK * vs * float(np.sqrt(3.0)) + vs  # bounding sphere + slack
@@ -219,7 +222,9 @@ def integrate_brick(
     NB = (X // BRICK) * (Y // BRICK) * (Z // BRICK)
     vs = cfg.voxel_size
 
-    cls = classify_bricks(depth_m, r_v2c.v, t_v2c.v, intr, cfg, res).reshape(-1)
+    cls = classify_bricks(
+        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
+    ).reshape(-1)
 
     # ---- FAR pass: elementwise, no gathers --------------------------------
     far_mask_b = (cls == 1).reshape(X // BRICK, Y // BRICK, Z // BRICK)

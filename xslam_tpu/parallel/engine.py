@@ -174,6 +174,8 @@ def _process_frame_sharded(
         return sharded_integrate(
             vol, depth_m, se3.rotation(v2c), se3.translation(v2c), intr, vol_cfg,
             config.bi_interpolate_threshold, mesh,
+            fusion_mode=config.fusion_mode,
+            brick_cap=max(256, config.fusion_brick_cap // mesh.devices.size),
         )
 
     volume = jax.lax.cond(do_integrate, integrate_fn, lambda v: v, state.volume)

@@ -47,12 +47,26 @@ def _halo_width(cfg: fusion.VolumeConfig, local_x: int) -> int:
     return min(step_vox + 3, local_x)
 
 
-def sharded_integrate(vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh):
-    """Per-slab fusion; no communication."""
+def sharded_integrate(
+    vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
+    fusion_mode: str = "dense", brick_cap: int = 2048,
+):
+    """Per-slab fusion; no communication. ``fusion_mode="brick"`` runs the
+    brick-compacted variant per shard (each slab classifies and compacts its
+    own bricks; ``brick_cap`` is the per-shard active cap)."""
 
     def stage(vol, depth_m, r_v2c, t_v2c):
         idx = jax.lax.axis_index(SPACE_AXIS)
         local_x = vol.value.shape[0]
+        if fusion_mode == "brick":
+            from ..ops import fusion_brick
+
+            out, _overflow = fusion_brick.integrate_brick(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                bi_threshold=bi_threshold, cap=brick_cap,
+                x_offset=idx * local_x,
+            )
+            return out
         return fusion.integrate(
             vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
             bi_threshold=bi_threshold, x_offset=idx * local_x,
