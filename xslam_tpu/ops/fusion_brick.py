@@ -114,33 +114,71 @@ def classify_bricks(
     H, W = depth_m.shape
 
     x_off_m = x_offset * vs
-    bx = (jnp.arange(nb[0], dtype=jnp.float32) + 0.5)[:, None, None] * (BRICK * vs) + x_off_m
-    by = (jnp.arange(nb[1], dtype=jnp.float32) + 0.5)[None, :, None] * (BRICK * vs)
-    bz = (jnp.arange(nb[2], dtype=jnp.float32) + 0.5)[None, None, :] * (BRICK * vs)
-    r = 0.5 * BRICK * vs * float(np.sqrt(3.0)) + vs  # bounding sphere + slack
+    bx0 = (jnp.arange(nb[0], dtype=jnp.float32))[:, None, None] * (BRICK * vs) + x_off_m
+    by0 = (jnp.arange(nb[1], dtype=jnp.float32))[None, :, None] * (BRICK * vs)
+    bz0 = (jnp.arange(nb[2], dtype=jnp.float32))[None, None, :] * (BRICK * vs)
+    bm = BRICK * vs
 
+    # project all 8 brick corners: tight image-space bbox + camera-distance
+    # interval (exact for the convex brick, vs the old bounding-sphere bound)
     R, t = r_v2c_v, t_v2c_v
-    cx_ = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
-    cy_ = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
-    cz_ = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+    us, vs_, zs, ds_ = [], [], [], []
+    for dx in (0.0, bm):
+        for dy in (0.0, bm):
+            for dz in (0.0, bm):
+                px, py, pz = bx0 + dx, by0 + dy, bz0 + dz
+                cx_ = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+                cy_ = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+                cz_ = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+                zs.append(cz_)
+                ds_.append(jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_))
+                zc = jnp.maximum(cz_, 1e-6)
+                us.append(intr.fx * cx_ / zc + intr.cx)
+                vs_.append(intr.fy * cy_ / zc + intr.cy)
+    zmin = zs[0]
+    zmax = zs[0]
+    for z in zs[1:]:
+        zmin = jnp.minimum(zmin, z)
+        zmax = jnp.maximum(zmax, z)
+    # distance interval: corner max is exact for the max; the min over the
+    # solid brick can undershoot corner-min by at most half the diagonal
+    dmax_c = ds_[0]
+    dmin_c = ds_[0]
+    for d in ds_[1:]:
+        dmax_c = jnp.maximum(dmax_c, d)
+        dmin_c = jnp.minimum(dmin_c, d)
+    half_diag = 0.5 * bm * float(np.sqrt(3.0))
+    dist_min = jnp.maximum(dmin_c - half_diag, 1e-3)
+    dist_max = dmax_c
 
-    dist_c = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
-    dist_min = jnp.maximum(dist_c - r, 1e-3)
-    dist_max = dist_c + r
+    umin, umax = us[0], us[0]
+    vmin, vmax = vs_[0], vs_[0]
+    for u_ in us[1:]:
+        umin = jnp.minimum(umin, u_)
+        umax = jnp.maximum(umax, u_)
+    for v_ in vs_[1:]:
+        vmin = jnp.minimum(vmin, v_)
+        vmax = jnp.maximum(vmax, v_)
+    # convexity margin: voxel-centre samples are at +0.5*vs inside corners,
+    # projection of the convex hull == hull of corner projections (z>0)
+    umin, umax = umin - 1.0, umax + 1.0
+    vmin, vmax = vmin - 1.0, vmax + 1.0
 
-    fully_behind = (cz_ + r) < 0.0
-    z_safe = (cz_ - r) > 1e-3
+    fully_behind = zmax < 0.0
+    z_safe = zmin > 1e-3
 
-    # projected centre + conservative pixel radius
-    u = intr.fx * cx_ / cz_ + intr.cx
-    v = intr.fy * cy_ / cz_ + intr.cy
-    fmax = max(abs(intr.fx), abs(intr.fy))
-    pr = jnp.where(z_safe, r * fmax / jnp.maximum(cz_ - r, 1e-3) + 2.0, jnp.inf)
-
+    # the per-voxel gate is floor(img - 0.5) in (1, W-1) (sampling.py /
+    # TsdfFusion.cu:123-124), i.e. img in [2.5, W-0.5); bounds chosen so
+    # "fully outside" and "fully inside" are both conservative w.r.t. it
     fully_outside = z_safe & (
-        (u + pr < 2.0) | (u - pr > W - 2.0) | (v + pr < 2.0) | (v - pr > H - 2.0)
+        (umax < 2.5) | (umin > W - 0.5) | (vmax < 2.5) | (vmin > H - 0.5)
     )
-    fully_inside = z_safe & (u - pr >= 2.0) & (u + pr <= W - 2.0) & (v - pr >= 2.0) & (v + pr <= H - 2.0)
+    fully_inside = (
+        z_safe & (umin >= 2.5) & (umax <= W - 1.5) & (vmin >= 2.5) & (vmax <= H - 1.5)
+    )
+    pr = jnp.where(z_safe, 0.5 * jnp.maximum(umax - umin, vmax - vmin), jnp.inf)
+    u = 0.5 * (umin + umax)
+    v = 0.5 * (vmin + vmax)
 
     # choose the mip whose 2x2-cell window covers the footprint: cell >= pr
     mips = _depth_mips(depth_m)

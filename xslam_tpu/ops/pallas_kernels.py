@@ -55,12 +55,9 @@ def _bilateral_kernel(src_hbm, dst_ref, *, H, W, blk_h):
         for dy in range(-R, R + 1):
             row_slice = scratch[pl.ds(R + dy, blk_h), :]
             for dx in range(-R, R + 1):
-                if dx > 0:
-                    nbr = jnp.pad(row_slice, ((0, 0), (0, dx)))[:, dx:]
-                elif dx < 0:
-                    nbr = jnp.pad(row_slice, ((0, 0), (-dx, 0)))[:, :dx]
-                else:
-                    nbr = row_slice
+                # lane shift via circular roll (Mosaic-supported); wrapped
+                # lanes are excluded by the coordinate validity mask below
+                nbr = pltpu.roll(row_slice, (-dx) % W, 1) if dx else row_slice
                 valid = (
                     (ys + dy >= 0)
                     & (ys + dy <= H - 2)
