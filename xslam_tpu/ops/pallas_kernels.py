@@ -9,6 +9,13 @@ on-chip memory.
 
 Semantically identical to the jnp reference implementation (golden-tested,
 including the reference's window edge clamping quirks).
+
+Status: validated in interpreter mode; the real-TPU Mosaic compile on this
+environment's toolchain rejects the unaligned sublane slices of the sliding
+window ("result/input offset mismatch on non-concat dimension"), so the
+production pipeline uses the jnp implementation (measured ~25-35 ms at
+640x480 — XLA fuses the 169-tap accumulation well). Revisit when the
+toolchain gains unaligned-slice support.
 """
 
 from __future__ import annotations
