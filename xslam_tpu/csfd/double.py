@@ -23,7 +23,7 @@ standard seed matches the reference: e1 = e2 = direction, e12 = 0.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Union
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ model with possibly negative ``fy`` (ICL), invalid pixels = 0.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..csfd.single import CSFD, lift
+from ..csfd.single import lift
 from .fusion import VolumeConfig, VolumeState
 from .sampling import trilinear_tsdf
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..csfd.single import CSFD, lift
+from ..csfd.single import CSFD
 from ..geometry.intrinsics import Intrinsics
 from .fusion import VolumeConfig, VolumeState, _voxel_update
 from .sampling import gather2d

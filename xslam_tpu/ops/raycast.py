@@ -332,6 +332,101 @@ def march_skip(
     return RaycastHit(t_found=t_found, t_dead=t_dead)
 
 
+def march_hier(
+    value: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+    window: int = 12,
+) -> RaycastHit:
+    """Hierarchical march (approximate): march every 2nd pixel at full
+    length, then march each full-res pixel only inside a ``window``-step
+    interval anchored at its coarse 2x2 neighbourhood's earliest event.
+
+    ~3x fewer volume reads than :func:`march`. Approximation: pixels whose
+    true first event lies more than ``window`` steps after the neighbourhood
+    anchor (deep silhouette edges) can miss or mis-time; downstream ICP
+    gates reject such pixels, and end-to-end tracking accuracy is asserted
+    by tests. Not bit-equivalent to the reference — opt-in via
+    ``SlamConfig.raycast_march = "hier"``.
+    """
+    X, Y, Z = value.shape
+    voxel = cfg.voxel_size
+    step = cfg.trunc_dist * 0.8
+    H, W = ray_dir.v.shape[-2:]
+
+    coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
+    coarse = march(value, ray_start, coarse_dir, cfg)
+
+    # earliest event per coarse pixel; INF where none
+    t_event = jnp.minimum(coarse.t_found, coarse.t_dead)
+    # expand to full res: min over the 2x2 coarse neighbourhood around each
+    # full-res pixel (up/left coarse cell and its +1 neighbours)
+    ch, cw = t_event.shape
+
+    def nbhd_min(a):
+        pads = jnp.pad(a, ((0, 1), (0, 1)), constant_values=INF_T)
+        m = jnp.minimum(
+            jnp.minimum(pads[:-1, :-1], pads[1:, :-1]),
+            jnp.minimum(pads[:-1, 1:], pads[1:, 1:]),
+        )
+        return m  # (ch, cw)
+
+    t0_coarse = nbhd_min(t_event)
+    t0_full = jnp.repeat(jnp.repeat(t0_coarse, 2, 0), 2, 1)[:H, :W]
+    has_anchor = t0_full < INF_T
+    # anchor on the global march grid so window samples coincide exactly
+    # with the full march's sample times
+    k0 = jnp.floor((jnp.where(has_anchor, t0_full, RAY_MIN_M) - RAY_MIN_M) / step) - 1.0
+    k0 = jnp.maximum(k0, 0.0)
+    t_begin = RAY_MIN_M + k0 * step
+
+    start_v = ray_start.v[:, None, None]
+    dirs_v = ray_dir.v
+
+    def voxel_of(p):
+        return jnp.floor(p / voxel).astype(jnp.int32)
+
+    def read_value(g):
+        return gather3d(value, g[0], g[1], g[2]) + 1e-5
+
+    def in_global(g):
+        return (
+            (g[0] >= 0) & (g[0] < X) & (g[1] >= 0) & (g[1] < Y) & (g[2] >= 0) & (g[2] < Z)
+        )
+
+    p0 = start_v + dirs_v * t_begin
+    g0 = voxel_of(p0)
+    g0c = jnp.stack(
+        [jnp.clip(g0[0], 0, X - 1), jnp.clip(g0[1], 0, Y - 1), jnp.clip(g0[2], 0, Z - 1)]
+    )
+    tsdf0 = read_value(g0c)
+
+    inf = jnp.full((H, W), INF_T, jnp.float32)
+
+    def body(k, carry):
+        prev_tsdf, t_found, t_dead = carry
+        t_curr = t_begin + k.astype(jnp.float32) * step
+        t_next = t_curr + step
+        p = start_v + dirs_v * t_next
+        g = voxel_of(p)
+        # the reference's loop condition is on t_curr (RayCaster.cu:236) —
+        # the final iteration's sample may lie beyond the max range
+        live = has_anchor & (t_curr < RAY_MAX_M)
+        inside = in_global(g) & live
+        tsdf = read_value(g)
+
+        death = live & (~in_global(g) | (inside & (prev_tsdf < 0.0) & (tsdf > 0.0)))
+        crossing = inside & (prev_tsdf > 0.0) & (tsdf < 0.0)
+
+        t_found = jnp.where(crossing & (t_curr < t_found), t_curr, t_found)
+        t_dead = jnp.where(death & (t_curr < t_dead), t_curr, t_dead)
+        return (tsdf, t_found, t_dead)
+
+    _, t_found, t_dead = jax.lax.fori_loop(0, window, body, (tsdf0, inf, inf))
+    return RaycastHit(t_found=t_found, t_dead=t_dead)
+
+
 def refine(
     vol: VolumeState,
     ray_start: CSFD,
@@ -482,6 +577,8 @@ def raycast(
     ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
     if march_mode == "skip":
         hit = march_skip(vol.value, vol.weight, ray_start, ray_dir, cfg)
+    elif march_mode == "hier":
+        hit = march_hier(vol.value, ray_start, ray_dir, cfg)
     else:
         hit = march(vol.value, ray_start, ray_dir, cfg)
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)

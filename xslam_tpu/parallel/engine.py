@@ -9,7 +9,7 @@ ppermute halos + pmin/psum ray resolution + psum'd ICP systems, all over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,20 +21,14 @@ march step (0.8*trunc = 2.4 voxels) + trilinear/normal taps (~2.5) -> 6.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..csfd.single import CSFD, lift
-from ..geometry import se3
-from ..geometry.intrinsics import Intrinsics
-from ..io.config import SlamConfig
-from ..models import kinfu
-from ..ops import fusion, icp, preprocess, raycast
-from .mesh import SPACE_AXIS, make_space_mesh, replicated, rows_sharding, volume_sharding
+from ..csfd.single import CSFD
+from ..ops import fusion, icp, raycast
+from .mesh import SPACE_AXIS
 
 try:
     from jax import shard_map as _shard_map  # jax >= 0.6
