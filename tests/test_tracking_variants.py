@@ -1,0 +1,87 @@
+"""Tracking robustness across scenes, trajectories, and sensor noise."""
+
+import numpy as np
+import pytest
+
+from xslam_tpu.io.synthetic import Box, Scene, Sphere, SyntheticDataset
+from xslam_tpu.models.kinfu import XSlamEngine
+from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first, rpe_rmse
+from tests.helpers import SMALL_INTR, small_config
+
+
+def _run(ds, cfg, n):
+    eng = XSlamEngine(cfg)
+    state = eng.init_state()
+    ok_all = True
+    for i in range(n):
+        state, res = eng.process_frame(state, ds.get_depth(i))
+        eng.log_pose(res)
+        ok_all &= bool(res.align_ok)
+    est = normalize_to_first(eng.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(n)])
+    return ate_rmse(est, gt), ok_all
+
+
+def test_cluttered_scene():
+    """A different scene: several spheres + boxes, off-centre."""
+    scene = Scene(
+        room=Box(np.array([-3.0, -2.0, -3.0]), np.array([3.0, 2.0, 3.0])),
+        spheres=[
+            Sphere(np.array([0.8, 0.0, 1.4]), 0.45),
+            Sphere(np.array([-0.7, 0.8, 0.6]), 0.3),
+            Sphere(np.array([0.1, -0.9, -0.5]), 0.35),
+        ],
+        boxes=[
+            Box(np.array([-2.0, 0.6, -1.8]), np.array([-1.1, 2.0, -0.9])),
+            Box(np.array([1.2, -2.0, -1.2]), np.array([2.2, -0.8, -0.2])),
+        ],
+    )
+    ds = SyntheticDataset(n_frames=6, intr=SMALL_INTR, scene=scene, degrees_per_frame=0.5)
+    ate, ok = _run(ds, small_config(end_frame=6), 6)
+    assert ok
+    assert ate < 0.06, ate
+
+
+def test_sensor_noise_robustness():
+    """Gaussian depth noise (~1% of depth, Kinect-like) must not break
+    tracking; ATE degrades gracefully."""
+
+    class NoisyDataset(SyntheticDataset):
+        def get_depth(self, i):
+            d = super().get_depth(i).astype(np.float64)
+            rng = np.random.default_rng(100 + i)
+            noise = rng.normal(0.0, 0.01, d.shape) * d  # 1% multiplicative
+            out = np.where(d > 0, d + noise, 0.0)
+            return np.clip(out, 0, 65535).astype(np.uint16)
+
+    from tests.helpers import small_scene
+
+    ds = NoisyDataset(n_frames=6, intr=SMALL_INTR, scene=small_scene(), degrees_per_frame=0.5)
+    ate, ok = _run(ds, small_config(end_frame=6), 6)
+    assert ok
+    assert ate < 0.1, ate
+
+
+def test_faster_motion():
+    """2 deg/frame orbit (~4x the canonical angular rate)."""
+    from tests.helpers import small_dataset
+
+    ds = small_dataset(6, degrees_per_frame=2.0)
+    ate, ok = _run(ds, small_config(end_frame=6), 6)
+    assert ok
+    assert ate < 0.08, ate
+
+
+def test_rpe_bounded():
+    from tests.helpers import small_dataset
+
+    ds = small_dataset(6, degrees_per_frame=0.5)
+    cfg = small_config(end_frame=6)
+    eng = XSlamEngine(cfg)
+    state = eng.init_state()
+    for i in range(6):
+        state, res = eng.process_frame(state, ds.get_depth(i))
+        eng.log_pose(res)
+    gt = [ds.get_pose(i) for i in range(6)]
+    rpe = rpe_rmse(eng.pose_log, gt)
+    assert rpe < 0.02, rpe
