@@ -69,6 +69,7 @@ def main():
     gt = normalize_to_first([ds.get_pose(i) for i in range(n_frames)])
     ate = ate_rmse(est, gt)
 
+    dev = jax.devices()[0]
     print(
         json.dumps(
             {
@@ -80,6 +81,7 @@ def main():
                 "ate_rmse_m": round(ate, 5),
                 "frames": n_frames,
                 "workload": "640x480 depth, 256^3 TSDF @0.03m, 3-level ICP {5,4,3}",
+                "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
             }
         )
     )
