@@ -109,3 +109,58 @@ def test_icp_system_precision_vs_f64():
     x32, ok = icp.solve_increment(system)
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(x32.v), x64, rtol=5e-3, atol=5e-6)
+
+
+def test_compute_optimize_matrix():
+    """12-dof pose-matrix gradient + GN Hessian (computeOptimizeMatrix,
+    ICP.cu:283-354) vs jax.grad of the explicit point-to-plane loss."""
+    import jax
+
+    ds = small_dataset(2, degrees_per_frame=1.0)
+    intr = SMALL_INTR
+    v0, n0 = _maps_from_depth(ds.get_depth(0), intr)
+    v1, n1m = _maps_from_depth(ds.get_depth(1), intr)
+    c2w0 = ds.get_pose(0)
+    vprev_w, nprev_w = _world_maps(v0, n0, c2w0)
+
+    r_curr = lift(jnp.asarray(c2w0[:3, :3], jnp.float32))
+    t_curr = lift(jnp.asarray(c2w0[:3, 3], jnp.float32))
+    r_prev_inv = lift(jnp.asarray(np.linalg.inv(c2w0)[:3, :3], np.float32))
+    t_prev = t_curr
+
+    jac, hes = jax.jit(
+        lambda: icp.compute_optimize_matrix(
+            r_curr, t_curr, v1, n1m, r_prev_inv, t_prev, intr, vprev_w, nprev_w,
+            0.10, float(np.sin(np.deg2rad(15.0))),
+        )
+    )()
+    assert jac.shape == (3, 4) and hes.shape == (12, 12)
+    np.testing.assert_allclose(np.asarray(hes), np.asarray(hes).T, atol=1e-3)
+    assert np.linalg.eigvalsh(np.asarray(hes)).min() > -1e-3  # PSD
+
+    # real twin: fixed correspondences/masks, differentiate the loss w.r.t. M
+    assoc = icp.associate(r_curr, t_curr, v1, r_prev_inv, t_prev, intr, vprev_w, nprev_w)
+    vcurr_g = jnp.einsum("ij,jhw->ihw", r_curr.v, v1) + t_curr.v[:, None, None]
+    dist = jnp.linalg.norm(assoc.vprev_g.v - vcurr_g, axis=0)
+    ncurr_g = jnp.einsum("ij,jhw->ihw", r_curr.v, n1m)
+    cr = jnp.cross(ncurr_g, assoc.nprev_g.v, axis=0)
+    sine = jnp.linalg.norm(cr, axis=0)
+    valid = (
+        ~jnp.isnan(n1m[0]) & assoc.in_img & ~jnp.isnan(assoc.nprev_g.v[0])
+        & (dist <= 0.10) & (sine < float(np.sin(np.deg2rad(15.0))))
+    )
+    n1w = jnp.where(valid[None], jnp.nan_to_num(assoc.nprev_g.v), 0.0)
+    p1w = jnp.where(valid[None], jnp.nan_to_num(assoc.vprev_g.v), 0.0)
+    p0h = jnp.concatenate(
+        [jnp.where(valid[None], jnp.nan_to_num(v1), 0.0), jnp.where(valid, 1.0, 0.0)[None]]
+    )
+
+    def loss(M):
+        p0t = jnp.einsum("ij,jhw->ihw", M, p0h)
+        proj = jnp.sum((p0t - p1w) * n1w, axis=0)
+        return jnp.sum(jnp.where(valid, proj * proj, 0.0))
+
+    M0 = jnp.concatenate([jnp.asarray(c2w0[:3, :3], jnp.float32),
+                          jnp.asarray(c2w0[:3, 3:4], jnp.float32)], axis=1)
+    g = jax.jit(jax.grad(loss))(M0)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(g), rtol=1e-3, atol=1e-2)

@@ -201,6 +201,77 @@ def vec_sum(x: CSFD) -> CSFD:
     return CSFD(jnp.sum(x.v, axis=0), jnp.sum(x.g, axis=0))
 
 
+def compute_optimize_matrix(
+    r_curr: CSFD,
+    t_curr: CSFD,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    r_prev_inv: CSFD,
+    t_prev: CSFD,
+    intr: Intrinsics,
+    vmap_g_prev: CSFD,
+    nmap_g_prev: CSFD,
+    dist_thres: float,
+    angle_thres: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Task-aware optimization hook: gradient of the point-to-plane loss
+    w.r.t. the raw 3x4 pose matrix plus its 12x12 Gauss-Newton Hessian
+    (``Combined::computeOptimizeMatrix``, ICP.cu:283-354, host reduction
+    :431-490).
+
+    Per correspondence (same association as :func:`build_system`):
+    ``L = sum ((M p0_h - p1) . n1)^2`` with ``p0_h = [p0, 1]``; the per-pixel
+    Jacobian against entry ``M[i, j]`` is ``2 n1[i] proj p0_h[j]`` and the
+    GN Hessian factorizes as ``2 J12^T J12`` with
+    ``J12[p, 4i+j] = n1[i] p0_h[j]`` — one MXU matmul instead of the
+    reference's 12x12 shared-memory reduction grid.
+
+    Returns (jacobi (3, 4), hessian (12, 12)), value-lane (real) like the
+    reference kernel.
+    """
+    assoc = associate(
+        r_curr, t_curr, vmap_curr, r_prev_inv, t_prev, intr,
+        vmap_g_prev, nmap_g_prev,
+    )
+    nprev_g, vprev_g, in_img = assoc.nprev_g, assoc.vprev_g, assoc.in_img
+
+    vcurr = lift(vmap_curr)
+    vcurr_g = vec3.matvec(r_curr, vcurr) + CSFD(
+        t_curr.v[:, None, None], t_curr.g[:, None, None]
+    )
+    dist = vec3.norm(vprev_g - vcurr_g)
+    ncurr_g = vec3.matvec(r_curr, lift(nmap_curr))
+    sine = vec3.norm(vec3.cross(ncurr_g, nprev_g))
+    valid = (
+        ~jnp.isnan(nmap_curr[0])
+        & in_img
+        & ~jnp.isnan(nprev_g.v[0])
+        & (dist.v <= dist_thres)
+        & (sine.v < angle_thres)
+    )
+
+    n1 = jnp.where(valid[None], jnp.nan_to_num(nprev_g.v), 0.0)  # (3, H, W)
+    p1 = jnp.where(valid[None], jnp.nan_to_num(vprev_g.v), 0.0)
+    p0t = jnp.where(valid[None], jnp.nan_to_num(vcurr_g.v), 0.0)
+    ones = jnp.where(valid, 1.0, 0.0)
+    p0h = jnp.concatenate([jnp.where(valid[None], jnp.nan_to_num(vmap_curr), 0.0),
+                           ones[None]])  # (4, H, W)
+
+    proj = jnp.sum((p0t - p1) * n1, axis=0)  # (H, W)
+
+    # J12 rows n1[i] * p0h[j], flattened over pixels
+    J12 = (n1[:, None] * p0h[None, :]).reshape(12, -1).T  # (N, 12)
+    r = proj.reshape(-1, 1)
+
+    hp = lambda a, b: jnp.matmul(
+        a.T, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    jacobi = 2.0 * hp(J12, r).reshape(3, 4)
+    hessian = 2.0 * hp(J12, J12)
+    return jacobi, hessian
+
+
 def solve_increment(system: IcpSystem, damping: float = 0.0) -> Tuple[CSFD, jnp.ndarray]:
     """Solve the 6x6 dual system with the reference's degeneracy guard
     (|det| < 1e-15 or NaN -> fail, KinectFusionReconstruction.cpp:203-210).
