@@ -87,3 +87,35 @@ def test_make_dataset_synthetic():
     ds = make_dataset(cfg)
     assert len(ds) == 3
     assert ds.get_depth(0).dtype == np.uint16
+
+
+def test_timer_and_profiling_utils():
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from xslam_tpu.utils.profiling import timed
+    from xslam_tpu.utils.timers import Timer
+
+    t = Timer()
+    _time.sleep(0.01)
+    ms = t.lap_ms(sync=jnp.ones(4))
+    assert ms >= 10.0
+
+    import jax
+
+    best, out = timed(jax.jit(lambda x: x * 2), jnp.ones(8), n=2)
+    assert best > 0 and float(out[0]) == 2.0
+
+
+def test_state_health_reporting():
+    import jax.numpy as jnp
+
+    from xslam_tpu.utils.debug import state_health
+
+    class S:
+        pass
+
+    h = state_health({"a": jnp.array([1.0, jnp.nan]), "b": jnp.ones(3)})
+    key_a = [k for k in h if "a" in k][0]
+    assert h[key_a]["nan_frac"] == 0.5
