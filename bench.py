@@ -33,13 +33,15 @@ def main():
     warmup = 2
 
     # the fast verified configuration: brick-compacted fusion (bit-equivalent
-    # to dense), screen-space model normals and per-level fixed ICP
-    # correspondences (both within the tracking-accuracy envelope — see
-    # tests/test_fast_paths.py); ATE of this exact run is reported below.
+    # to dense), hierarchical march, screen-space model normals and per-level
+    # fixed ICP correspondences (all within the tracking-accuracy envelope —
+    # see tests/test_fast_paths.py, test_march_skip.py); the ATE of this
+    # exact run is reported alongside the FPS.
     config = SlamConfig(
         end_frame=n_frames,
         fusion_mode="brick",
         raycast_normals="screen",
+        raycast_march="hier",
         icp_fixed_assoc=True,
     )
     ds = SyntheticDataset(n_frames=n_frames, degrees_per_frame=0.4)
