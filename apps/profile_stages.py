@@ -1,0 +1,224 @@
+"""Per-stage TPU timing of the SLAM frame pipeline (fast verified config).
+
+Times each stage of ``process_frame`` (models/kinfu.py) as its own jit:
+preprocessing, brick fusion, hierarchical march, secant refinement + screen
+normals + pyramid resize, and the 3-level fixed-association ICP. Volume
+state is produced by running the fusion stage itself over a few synthetic
+frames with ground-truth poses (no full-pipeline compile needed).
+
+Timing through the axon relay: dispatch is async and ``block_until_ready``
+can be a no-op, so each lap is closed by fetching a tiny scalar slice.
+
+Usage: python -u apps/profile_stages.py [reps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("XSLAM_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def fetch(x):
+    """Force completion by pulling one scalar to host."""
+    return np.asarray(x.reshape(-1)[0])
+
+
+def lap(fn, *args, reps=3):
+    import jax
+
+    out = fn(*args)  # warm/compile
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "reshape")]
+    fetch(leaves[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "reshape")]
+        for l in leaves[:1]:
+            fetch(l)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    import jax
+    import jax.numpy as jnp
+
+    from xslam_tpu.csfd.single import CSFD, lift
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.io.config import SlamConfig
+    from xslam_tpu.io.synthetic import SyntheticDataset
+    from xslam_tpu.ops import fusion, fusion_brick, icp, preprocess, raycast
+
+    config = SlamConfig(
+        fusion_mode="brick", raycast_normals="screen",
+        raycast_march="hier", icp_fixed_assoc=True,
+    )
+    intr = config.intrinsics
+    vol_cfg = fusion.VolumeConfig(
+        resolution=tuple(config.tsdf_size), voxel_size=config.voxel_size,
+        trunc_dist=config.trunc_dist, max_weight=config.max_integration_weight,
+    )
+    w2v_np = np.asarray(config.world2volume, np.float32)
+    ds = SyntheticDataset(n_frames=8, degrees_per_frame=0.4)
+    levels = config.num_levels
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    # ---- stage jits -------------------------------------------------------
+    @jax.jit
+    def prep(depth_u16):
+        d0 = preprocess.bilateral_filter(depth_u16)
+        depths = [d0]
+        for i in range(1, levels):
+            depths.append(preprocess.pyr_down(depths[-1]))
+        vmaps = [preprocess.create_vmap(intr.level(i), depths[i]) for i in range(levels)]
+        nmaps = [preprocess.create_nmap(v) for v in vmaps]
+        return depths, vmaps, nmaps
+
+    @jax.jit
+    def pose_pieces(c2w):
+        c2w = lift(c2w)
+        w2v = lift(jnp.asarray(w2v_np))
+        c2v = se3.matmul(w2v, c2w)
+        v2c = se3.inverse(c2v)
+        return (se3.rotation(v2c), se3.translation(v2c),
+                se3.rotation(c2v), se3.translation(c2v))
+
+    def fuse_fn(vol, depth_u16, r_v2c, t_v2c):
+        depth_m = fusion.scale_depth(depth_u16)
+        out, _ = fusion_brick.integrate_brick(
+            vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+            bi_threshold=config.bi_interpolate_threshold,
+            cap=config.fusion_brick_cap,
+        )
+        return out
+
+    fuse = jax.jit(fuse_fn, donate_argnums=(0,))
+    fuse_keep = jax.jit(fuse_fn)  # non-donating variant for repeated timing
+
+    @jax.jit
+    def rays_of(r_c2v, t_c2v):
+        return raycast._camera_rays(r_c2v, t_c2v, intr)
+
+    @jax.jit
+    def march_stage(value, ray_start, ray_dir):
+        return raycast.march_hier(value, ray_start, ray_dir, vol_cfg)
+
+    v2w = np.linalg.inv(w2v_np).astype(np.float32)
+
+    @jax.jit
+    def refine_stage(vol, ray_start, ray_dir, hit_found, hit_dead):
+        r_v2w = lift(jnp.asarray(v2w[:3, :3]))
+        t_v2w = lift(jnp.asarray(v2w[:3, 3]))
+        accept = hit_found < jnp.minimum(hit_dead, raycast.INF_T)
+        vmap, nmap, v_ok, n_ok = raycast.refine(
+            vol, ray_start, ray_dir, hit_found, accept,
+            r_v2w, t_v2w, vol_cfg, normals_mode="screen",
+        )
+        vmap, nmap = raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
+        nmap = raycast.screen_normals(vmap)
+        vmaps = [vmap]
+        nmaps = [nmap]
+        for i in range(1, levels):
+            vmaps.append(CSFD(preprocess.resize_vmap(vmaps[-1].v),
+                              preprocess.resize_vmap(vmaps[-1].g)))
+            from xslam_tpu.models.kinfu import _resize_nmap_dual
+            nmaps.append(_resize_nmap_dual(nmaps[-1]))
+        return tuple(vmaps), tuple(nmaps)
+
+    @jax.jit
+    def icp_stage(w2c, vmaps_curr, nmaps_curr, vmaps_prev, nmaps_prev):
+        w2c = lift(w2c)
+        c2w_prev = se3.inverse(w2c)
+        r_prev = se3.rotation(c2w_prev)
+        t_prev = se3.translation(c2w_prev)
+        r_prev_inv = se3.rotation(w2c)
+        r_curr, t_curr = r_prev, t_prev
+        for level in reversed(range(levels)):
+            iters = config.icp_iterations[level]
+            level_assoc = icp.associate(
+                r_curr, t_curr, vmaps_curr[level], r_prev_inv, t_prev,
+                intr.level(level), vmaps_prev[level], nmaps_prev[level],
+            )
+
+            def body(carry, _, level=level, level_assoc=level_assoc):
+                r_curr, t_curr = carry
+                system = icp.build_system(
+                    r_curr, t_curr, vmaps_curr[level], nmaps_curr[level],
+                    r_prev_inv, t_prev, intr.level(level),
+                    vmaps_prev[level], nmaps_prev[level],
+                    config.dist_thres, config.angle_thres_sine, assoc=level_assoc,
+                )
+                x, ok = icp.solve_increment(system)
+                inc = se3.euler_xyz_increment(
+                    *[CSFD(x.v[i], x.g[i]) for i in range(6)]
+                )
+                r_inc, t_inc = se3.rotation(inc), se3.translation(inc)
+                t_new = se3.matvec(r_inc, t_curr) + t_inc
+                r_new = se3.matmul(r_inc, r_curr)
+                return (r_new, t_new), None
+
+            (r_curr, t_curr), _ = jax.lax.scan(body, (r_curr, t_curr), None, length=iters)
+        return t_curr.v
+
+    # ---- build realistic state with gt poses ------------------------------
+    t_all0 = time.perf_counter()
+    vol = fusion.create_volume(vol_cfg)
+    for i in range(4):
+        d = jnp.asarray(ds.get_depth(i))
+        r_v2c, t_v2c, _, _ = pose_pieces(jnp.asarray(ds.get_pose(i), jnp.float32))
+        vol = fuse(vol, d, r_v2c, t_v2c)
+    fetch(vol.value)
+    print(f"state built ({time.perf_counter()-t_all0:.1f}s incl. compiles)", flush=True)
+
+    frame = 4
+    depth = jnp.asarray(ds.get_depth(frame))
+    pose = jnp.asarray(ds.get_pose(frame), jnp.float32)
+    r_v2c, t_v2c, r_c2v, t_c2v = pose_pieces(pose)
+
+    results = {}
+    t, prep_out = lap(prep, depth, reps=reps)
+    results["preprocess+pyramids+maps"] = t
+    _, vmaps_curr, nmaps_curr = prep_out
+
+    t, _ = lap(fuse_keep, vol, depth, r_v2c, t_v2c, reps=reps)
+    results["fusion_brick"] = t
+
+    t, ray_out = lap(rays_of, r_c2v, t_c2v)
+    results["camera_rays"] = t
+    ray_dir, ray_start = ray_out
+
+    t, hit = lap(march_stage, vol.value, ray_start, ray_dir, reps=reps)
+    results["march_hier"] = t
+
+    t, maps = lap(refine_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead, reps=reps)
+    results["refine+normals+resize"] = t
+    vmaps_prev, nmaps_prev = maps
+
+    w2c_np = np.linalg.inv(np.asarray(ds.get_pose(frame + 1))).astype(np.float32)
+    t, _ = lap(
+        icp_stage, jnp.asarray(w2c_np),
+        tuple(vmaps_curr), tuple(nmaps_curr),
+        vmaps_prev, nmaps_prev, reps=reps,
+    )
+    results["icp_3level_12iter"] = t
+
+    total = sum(results.values())
+    print("\n== stage times (min of %d reps) ==" % reps, flush=True)
+    for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:28s} {1000*v:8.1f} ms   ({100*v/total:4.1f}%)")
+    print(f"  {'SUM':28s} {1000*total:8.1f} ms   ({1000.0/ (1000*total):.2f} fps-equiv)")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,33 @@ def _gather_map(m: CSFD, iy, ix) -> CSFD:
     return CSFD(vals, grads)
 
 
+def _pack_prev_maps(vmap_g_prev: CSFD, nmap_g_prev: CSFD) -> jnp.ndarray:
+    """Pack the previous-model maps into a ``(H*W, 12)`` row table:
+    ``[v.v(3), v.g(3), n.v(3), n.g(3)]`` per pixel. One 12-float row gather
+    then replaces the 12 scalar gathers of the projective fetch (TPU row
+    gathers up to ~16 floats cost the same as a scalar gather — BASELINE.md).
+    """
+    cols = jnp.concatenate(
+        [vmap_g_prev.v, vmap_g_prev.g, nmap_g_prev.v, nmap_g_prev.g], axis=0
+    )  # (12, H, W)
+    return cols.reshape(12, -1).T
+
+
+def _gather_prev_rows(table: jnp.ndarray, H: int, W: int, iy, ix):
+    """Row-gather the packed prev maps; out-of-image pixels get the same
+    sentinels as :func:`_gather_map` (NaN values, zero grads)."""
+    ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+    flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    r = jnp.take(table, flat.reshape(-1), axis=0, mode="clip").reshape(
+        *flat.shape, 12
+    )
+    r = jnp.moveaxis(r, -1, 0)  # (12, ...)
+    nan = jnp.float32(jnp.nan)
+    vprev = CSFD(jnp.where(ok, r[0:3], nan), jnp.where(ok, r[3:6], 0.0))
+    nprev = CSFD(jnp.where(ok, r[6:9], nan), jnp.where(ok, r[9:12], 0.0))
+    return vprev, nprev
+
+
 class Association(NamedTuple):
     """Cached projective correspondences: the gathered previous-model
     vertices/normals and the projection validity mask."""
@@ -80,8 +107,8 @@ def associate(
     uy = jnp.round(py).astype(jnp.int32)
     in_img = (ux >= 0) & (uy >= 0) & (ux < W) & (uy < H) & (vcurr_cp.v[2] >= 0)
 
-    nprev_g = _gather_map(nmap_g_prev, uy, ux)
-    vprev_g = _gather_map(vmap_g_prev, uy, ux)
+    table = _pack_prev_maps(vmap_g_prev, nmap_g_prev)
+    vprev_g, nprev_g = _gather_prev_rows(table, H, W, uy, ux)
     return Association(nprev_g=nprev_g, vprev_g=vprev_g, in_img=in_img)
 
 

@@ -33,7 +33,7 @@ from ..csfd import vec3
 from ..csfd.single import CSFD, lift
 from ..geometry.intrinsics import Intrinsics
 from .fusion import VolumeConfig, VolumeState
-from .sampling import gather3d
+from .sampling import gather3d, pack_vg_yz, trilinear_tsdf_packed
 
 RAY_MIN_M = 0.2
 RAY_MAX_M = 5.0
@@ -438,6 +438,7 @@ def refine(
     cfg: VolumeConfig,
     spec: ShardSpec = ShardSpec(),
     normals_mode: str = "tsdf",
+    packed_taps: bool = True,
 ) -> Tuple[CSFD, CSFD, jnp.ndarray, jnp.ndarray]:
     """Secant refinement + vertex/normal computation at ``hit_t`` for pixels
     where ``accept``. Returns (vmap_w, nmap_w, v_ok, n_ok) with zeros (not
@@ -447,7 +448,12 @@ def refine(
     ``normals_mode``: "tsdf" = central differences of the interpolated TSDF
     (reference behaviour, 6 trilinear evals); "screen" = skip here (caller
     derives normals from the combined vertex map, see
-    :func:`screen_normals`)."""
+    :func:`screen_normals`).
+
+    ``packed_taps``: fetch trilinear taps from a :func:`pack_vg_yz` row
+    table (2 row gathers per dual trilinear instead of 16 scalar gathers —
+    bit-identical, ~8x fewer gather issues; the table build is a handful of
+    elementwise volume passes)."""
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     Xl, Y, Z = vol.value.shape
@@ -460,11 +466,22 @@ def refine(
             vec3.comp(ray_start, 2) + vec3.comp(ray_dir, 2) * t,
         )
 
-    def trilin_at(p: CSFD) -> CSFD:
-        return trilinear_tsdf_shard(
-            vol.value, vol.grad,
-            vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2), voxel, spec,
-        )
+    if packed_taps:
+        packed = pack_vg_yz(vol.value, vol.grad)
+
+        def trilin_at(p: CSFD) -> CSFD:
+            return trilinear_tsdf_packed(
+                packed, vol.value.shape,
+                vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2), voxel,
+                x_base=x_base, x_total=x_total,
+            )
+    else:
+
+        def trilin_at(p: CSFD) -> CSFD:
+            return trilinear_tsdf_shard(
+                vol.value, vol.grad,
+                vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2), voxel, spec,
+            )
 
     t_dual = lift(jnp.where(accept, hit_t, RAY_MIN_M))
     ft = trilin_at(point_at(t_dual))

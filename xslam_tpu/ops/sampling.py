@@ -10,6 +10,7 @@ trilinear volume interpolation (``RayCaster.cu:100-141``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..csfd.single import CSFD, lift
@@ -82,6 +83,120 @@ def bilinear_depth_sample(
         jnp.where(use_interp, interp.g, 0.0),
     )
     return out, in_bounds
+
+
+def pack_vg_yz(value: jnp.ndarray, grad: jnp.ndarray) -> jnp.ndarray:
+    """Pack (value, grad) volumes into y/z-parity row tables for
+    single-row-gather dual trilinear taps.
+
+    TPU gathers issue one row per cycle regardless of row width up to ~8
+    floats (measured: a scalar gather and an 8-float row gather both cost
+    ~35 ns — see BASELINE.md), so fetching the 2x2 (y, z) interpolation
+    block of BOTH planes as one 8-float row turns the 16 scalar gathers per
+    dual trilinear x-slice into 1.
+
+    Returns a ``(4 * X * (Y//2) * (Z//2), 8)`` table: four parity variants
+    (oy, oz) concatenated variant-major; variant (oy, oz) row
+    ``(x, j, k)`` holds ``[v, g]`` for voxels ``(x, 2j+oy+dy, 2k+oz+dz)``
+    in (dy, dz, plane) order. Out-of-volume y/z taps read the zero padding —
+    the same fill value :func:`gather3d` uses.
+
+    Requires even Y and Z.
+    """
+    X, Y, Z = value.shape
+    assert Y % 2 == 0 and Z % 2 == 0, "pack_vg_yz needs even Y/Z extents"
+    Y2, Z2 = Y // 2, Z // 2
+    vp = jnp.pad(value, ((0, 0), (0, 1), (0, 1)))
+    gp = jnp.pad(grad, ((0, 0), (0, 1), (0, 1)))
+    tables = []
+    for oy in (0, 1):
+        for oz in (0, 1):
+            v = jax.lax.slice(vp, (0, oy, oz), (X, oy + 2 * Y2, oz + 2 * Z2))
+            g = jax.lax.slice(gp, (0, oy, oz), (X, oy + 2 * Y2, oz + 2 * Z2))
+            v = v.reshape(X, Y2, 2, Z2, 2)
+            g = g.reshape(X, Y2, 2, Z2, 2)
+            t = jnp.stack([v, g], axis=-1)  # (X, Y2, 2, Z2, 2, vg)
+            t = t.transpose(0, 1, 3, 2, 4, 5)  # (X, Y2, Z2, dy, dz, vg)
+            tables.append(t.reshape(X * Y2 * Z2, 8))
+    return jnp.concatenate(tables, axis=0)
+
+
+def trilinear_tsdf_packed(
+    packed: jnp.ndarray,
+    local_shape,
+    px: CSFD,
+    py: CSFD,
+    pz: CSFD,
+    voxel_size: float,
+    x_base: int = 0,
+    x_total=None,
+) -> CSFD:
+    """Dual trilinear TSDF interpolation reading a :func:`pack_vg_yz` table.
+
+    Bit-identical to :func:`xslam_tpu.ops.raycast.trilinear_tsdf_shard` on
+    the corresponding (value, grad) volumes (same base-cell selection,
+    RayCaster.cu:117-122; same ``+1e-5`` bias, RayCaster.cu:77; same tap
+    summation order) but issues 2 row gathers per point instead of 16
+    scalar gathers. ``x_base``/``x_total`` place a local X-slab in a larger
+    sharded volume, like ``ShardSpec``.
+    """
+    Xl, Y, Z = local_shape
+    if x_total is None:
+        x_total = Xl
+    Y2, Z2 = Y // 2, Z // 2
+    inv_vs = 1.0 / voxel_size
+
+    gx = jnp.floor(px.v * inv_vs).astype(jnp.int32)
+    gy = jnp.floor(py.v * inv_vs).astype(jnp.int32)
+    gz = jnp.floor(pz.v * inv_vs).astype(jnp.int32)
+    ok = (
+        (gx > 0) & (gx < x_total - 1) & (gy > 0) & (gy < Y - 1) & (gz > 0) & (gz < Z - 1)
+    )
+
+    gx = gx - (px.v < (gx.astype(jnp.float32) + 0.5) * voxel_size)
+    gy = gy - (py.v < (gy.astype(jnp.float32) + 0.5) * voxel_size)
+    gz = gz - (pz.v < (gz.astype(jnp.float32) + 0.5) * voxel_size)
+
+    a0 = px * inv_vs - (gx.astype(jnp.float32) + 0.5)
+    b0 = py * inv_vs - (gy.astype(jnp.float32) + 0.5)
+    c0 = pz * inv_vs - (gz.astype(jnp.float32) + 0.5)
+    one = lift(1.0, like=a0)
+    a1, b1, c1 = one - a0, one - b0, one - c0
+
+    lx = gx - x_base
+    variant = (gy & 1) * 2 + (gz & 1)
+    j = jnp.clip(gy >> 1, 0, Y2 - 1)
+    k = jnp.clip(gz >> 1, 0, Z2 - 1)
+    stride = Xl * Y2 * Z2
+
+    def fetch(lxd):
+        # out-of-slab x reads 0 rows, matching gather3d's 0.0 fill
+        inb = (lxd >= 0) & (lxd < Xl)
+        lxc = jnp.clip(lxd, 0, Xl - 1)
+        row = variant * stride + (lxc * Y2 + j) * Z2 + k
+        r = jnp.take(packed, row.reshape(-1), axis=0, mode="clip").reshape(
+            *row.shape, 8
+        )
+        return jnp.where(inb[..., None], r, 0.0)
+
+    r0, r1 = fetch(lx), fetch(lx + 1)
+
+    def tap(r, dy, dz) -> CSFD:
+        m = (dy * 2 + dz) * 2
+        return CSFD(r[..., m] + 1e-5, r[..., m + 1])
+
+    res = (
+        tap(r0, 0, 0) * (a1 * b1 * c1)
+        + tap(r0, 0, 1) * (a1 * b1 * c0)
+        + tap(r0, 1, 0) * (a1 * b0 * c1)
+        + tap(r0, 1, 1) * (a1 * b0 * c0)
+        + tap(r1, 0, 0) * (a0 * b1 * c1)
+        + tap(r1, 0, 1) * (a0 * b1 * c0)
+        + tap(r1, 1, 0) * (a0 * b0 * c1)
+        + tap(r1, 1, 1) * (a0 * b0 * c0)
+    )
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok, res.v, nan), jnp.where(ok, res.g, 0.0))
 
 
 def trilinear_tsdf(
