@@ -104,3 +104,56 @@ def test_hier_march_e2e_tracking():
     est = normalize_to_first(engine.pose_log)
     gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
     assert ate_rmse(est, gt) < 0.06
+
+
+def test_hier_skip_coarse_identical_to_hier():
+    """hier_skip's coarse pass (march_skip) matches hier's full coarse
+    march everywhere except anchors influenced by volume-exit deaths,
+    which march_skip records late when the exit happens mid-jump: hit
+    decisions and times agree on >97% of pixels and are identical where
+    both hit."""
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(4, degrees_per_frame=2.0)
+    vol = fusion.create_volume(vol_cfg)
+    integ = jax.jit(lambda v, d, r, t: fusion.integrate(v, d, r, t, SMALL_INTR, vol_cfg))
+    for i in range(4):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32)))
+        v2c = se3.inverse(c2v)
+        vol = integ(vol, dm, se3.rotation(v2c), se3.translation(v2c))
+
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    ray_dir, ray_start = raycast._camera_rays(se3.rotation(c2v), se3.translation(c2v), SMALL_INTR)
+
+    hier = jax.jit(lambda v: raycast.march_hier(v.value, ray_start, ray_dir, vol_cfg))(vol)
+    hs = jax.jit(
+        lambda v: raycast.march_hier(v.value, ray_start, ray_dir, vol_cfg, weight=v.weight)
+    )(vol)
+    acc_h = np.asarray(hier.t_found) < np.minimum(np.asarray(hier.t_dead), raycast.INF_T)
+    acc_s = np.asarray(hs.t_found) < np.minimum(np.asarray(hs.t_dead), raycast.INF_T)
+    agree = acc_h == acc_s
+    assert agree.mean() > 0.97, agree.mean()
+    both = acc_h & acc_s
+    assert both.sum() > 5000
+    # same march grid point; tiny fp drift from differing (t_begin, k) splits
+    np.testing.assert_allclose(
+        np.asarray(hier.t_found)[both], np.asarray(hs.t_found)[both], atol=1e-5
+    )
+
+
+def test_hier_skip_e2e_tracking():
+    cfg = small_config(end_frame=6, raycast_march="hier_skip", raycast_normals="screen")
+    ds = small_dataset(6, degrees_per_frame=0.5)
+    engine = XSlamEngine(cfg)
+    state = engine.init_state()
+    for i in range(6):
+        state, res = engine.process_frame(state, ds.get_depth(i))
+        engine.log_pose(res)
+        assert bool(res.align_ok)
+    est = normalize_to_first(engine.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
+    assert ate_rmse(est, gt) < 0.06

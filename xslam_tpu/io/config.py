@@ -62,8 +62,13 @@ class SlamConfig:
     # ray-march strategy: "fixed" = fixed-trip lockstep (reference
     # semantics, RayCaster.cu:236); "skip" = brick-distance-field
     # empty-space skipping with dynamic trip count (identical events,
-    # fewer volume reads)
+    # fewer volume reads); "hier" = half-res anchor march + windowed
+    # full-res repair (approximate, see ops/raycast.py::march_hier);
+    # "hier_skip" = hier with a skip-march coarse pass (identical anchors
+    # to "hier", fewer coarse reads)
     raycast_march: str = "fixed"
+    # repair-window length (march steps) for the hier modes
+    raycast_hier_window: int = 12
 
     # fusion strategy: "dense" = per-voxel depth sampling (reference
     # semantics); "brick" = conservative brick culling (bit-equivalent,

@@ -299,6 +299,7 @@ def process_frame(
         volume, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg,
         normals_mode=config.raycast_normals,
         march_mode=config.raycast_march,
+        hier_window=config.raycast_hier_window,
     )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]

@@ -338,6 +338,7 @@ def march_hier(
     ray_dir: CSFD,
     cfg: VolumeConfig,
     window: int = 12,
+    weight: Optional[jnp.ndarray] = None,
 ) -> RaycastHit:
     """Hierarchical march (approximate): march every 2nd pixel at full
     length, then march each full-res pixel only inside a ``window``-step
@@ -349,6 +350,11 @@ def march_hier(
     gates reject such pixels, and end-to-end tracking accuracy is asserted
     by tests. Not bit-equivalent to the reference — opt-in via
     ``SlamConfig.raycast_march = "hier"``.
+
+    If ``weight`` is given, the coarse pass uses the empty-space-skipping
+    march (:func:`march_skip` — identical events to :func:`march`, dynamic
+    trip count), producing the exact same anchors with fewer volume reads
+    (``SlamConfig.raycast_march = "hier_skip"``).
     """
     X, Y, Z = value.shape
     voxel = cfg.voxel_size
@@ -356,7 +362,10 @@ def march_hier(
     H, W = ray_dir.v.shape[-2:]
 
     coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
-    coarse = march(value, ray_start, coarse_dir, cfg)
+    if weight is not None:
+        coarse = march_skip(value, weight, ray_start, coarse_dir, cfg)
+    else:
+        coarse = march(value, ray_start, coarse_dir, cfg)
 
     # earliest event per coarse pixel; INF where none
     t_event = jnp.minimum(coarse.t_found, coarse.t_dead)
@@ -589,13 +598,19 @@ def raycast(
     cfg: VolumeConfig,
     normals_mode: str = "tsdf",
     march_mode: str = "fixed",
+    hier_window: int = 12,
 ) -> Tuple[CSFD, CSFD]:
     """Single-chip raycast: march + refine + NaN sentinels."""
     ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
     if march_mode == "skip":
         hit = march_skip(vol.value, vol.weight, ray_start, ray_dir, cfg)
     elif march_mode == "hier":
-        hit = march_hier(vol.value, ray_start, ray_dir, cfg)
+        hit = march_hier(vol.value, ray_start, ray_dir, cfg, window=hier_window)
+    elif march_mode == "hier_skip":
+        hit = march_hier(
+            vol.value, ray_start, ray_dir, cfg, window=hier_window,
+            weight=vol.weight,
+        )
     else:
         hit = march(vol.value, ray_start, ray_dir, cfg)
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
