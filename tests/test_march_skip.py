@@ -157,3 +157,51 @@ def test_hier_skip_e2e_tracking():
     est = normalize_to_first(engine.pose_log)
     gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
     assert ate_rmse(est, gt) < 0.06
+
+
+def test_hier2_march_agreement():
+    """Two-level hierarchical march: high agreement with the exact march."""
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(4, degrees_per_frame=2.0)
+    vol = fusion.create_volume(vol_cfg)
+    integ = jax.jit(lambda v, d, r, t: fusion.integrate(v, d, r, t, SMALL_INTR, vol_cfg))
+    for i in range(4):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32)))
+        v2c = se3.inverse(c2v)
+        vol = integ(vol, dm, se3.rotation(v2c), se3.translation(v2c))
+
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    ray_dir, ray_start = raycast._camera_rays(se3.rotation(c2v), se3.translation(c2v), SMALL_INTR)
+
+    exact = jax.jit(lambda v: raycast.march(v.value, ray_start, ray_dir, vol_cfg))(vol)
+    h2 = jax.jit(lambda v: raycast.march_hier2(v.value, ray_start, ray_dir, vol_cfg))(vol)
+
+    acc_e = np.asarray(exact.t_found) < np.minimum(np.asarray(exact.t_dead), raycast.INF_T)
+    acc_h = np.asarray(h2.t_found) < np.minimum(np.asarray(h2.t_dead), raycast.INF_T)
+    agree = (acc_e == acc_h)
+    assert agree.mean() > 0.95, agree.mean()
+    both = acc_e & acc_h
+    dt = np.abs(np.asarray(exact.t_found)[both] - np.asarray(h2.t_found)[both])
+    assert np.percentile(dt, 99) < 1e-4  # same step where both hit
+
+
+def test_hier2_e2e_tracking():
+    cfg = small_config(
+        end_frame=6, raycast_march="hier2", raycast_normals="screen",
+        raycast_hier_window=8,
+    )
+    ds = small_dataset(6, degrees_per_frame=0.5)
+    engine = XSlamEngine(cfg)
+    state = engine.init_state()
+    for i in range(6):
+        state, res = engine.process_frame(state, ds.get_depth(i))
+        engine.log_pose(res)
+        assert bool(res.align_ok)
+    est = normalize_to_first(engine.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
+    assert ate_rmse(est, gt) < 0.06

@@ -65,9 +65,11 @@ class SlamConfig:
     # fewer volume reads); "hier" = half-res anchor march + windowed
     # full-res repair (approximate, see ops/raycast.py::march_hier);
     # "hier_skip" = hier with a skip-march coarse pass (identical anchors
-    # to "hier", fewer coarse reads)
+    # to "hier", fewer coarse reads); "hier2" = two-level hierarchy
+    # (quarter-res march -> half-res repair -> windowed full-res repair)
     raycast_march: str = "fixed"
-    # repair-window length (march steps) for the hier modes
+    # repair-window length (march steps) for the hier modes (the finest
+    # level in "hier2"; its mid level uses march_hier's default of 12)
     raycast_hier_window: int = 12
 
     # fusion strategy: "dense" = per-voxel depth sampling (reference

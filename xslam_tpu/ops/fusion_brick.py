@@ -64,37 +64,49 @@ def _depth_mips(depth_m: jnp.ndarray):
 def _footprint_bounds(mips, level, cu, cv):
     """2x2-cell conservative (min, max, all_valid) at a chosen mip level.
 
-    ``level`` is per-brick; we evaluate all levels and select (the arrays are
-    tiny), gathering 4 cells per level."""
+    ``level`` is per-brick. All levels' (min, max, all_valid) cells are
+    packed into one concatenated ``(N, 3)`` row table so the selected
+    level's 2x2 window costs 4 row gathers per brick (TPU row gathers are
+    as cheap as scalar gathers — BASELINE.md), instead of gathering every
+    level and selecting (12 gathers x n_levels)."""
     sizes, mins, maxs, allv = mips
-    out_min, out_max, out_all = [], [], []
-    for li, ts in enumerate(sizes):
-        mh, mw = mins[li].shape
-        cu0 = jnp.clip(cu // ts, 0, mw - 1)
-        cv0 = jnp.clip(cv // ts, 0, mh - 1)
-
-        def cell(dy, dx, arr, fill):
-            return gather2d(arr, jnp.clip(cv0 + dy, 0, mh - 1), jnp.clip(cu0 + dx, 0, mw - 1), fill)
-
-        mn = jnp.minimum(
-            jnp.minimum(cell(0, 0, mins[li], jnp.inf), cell(0, 1, mins[li], jnp.inf)),
-            jnp.minimum(cell(1, 0, mins[li], jnp.inf), cell(1, 1, mins[li], jnp.inf)),
+    n = len(sizes)
+    rows, offsets, off = [], [], 0
+    for li in range(n):
+        h, w = mins[li].shape
+        rows.append(
+            jnp.stack(
+                [mins[li].reshape(-1), maxs[li].reshape(-1),
+                 allv[li].reshape(-1).astype(jnp.float32)],
+                axis=1,
+            )
         )
-        mx = jnp.maximum(
-            jnp.maximum(cell(0, 0, maxs[li], -jnp.inf), cell(0, 1, maxs[li], -jnp.inf)),
-            jnp.maximum(cell(1, 0, maxs[li], -jnp.inf), cell(1, 1, maxs[li], -jnp.inf)),
+        offsets.append(off)
+        off += h * w
+    table = jnp.concatenate(rows, axis=0)
+
+    ts_arr = jnp.asarray(sizes, jnp.int32)[level]
+    mh_arr = jnp.asarray([m.shape[0] for m in mins], jnp.int32)[level]
+    mw_arr = jnp.asarray([m.shape[1] for m in mins], jnp.int32)[level]
+    base = jnp.asarray(offsets, jnp.int32)[level]
+    cu0 = jnp.clip(cu // ts_arr, 0, mw_arr - 1)
+    cv0 = jnp.clip(cv // ts_arr, 0, mh_arr - 1)
+
+    def cell(dy, dx):
+        y = jnp.clip(cv0 + dy, 0, mh_arr - 1)
+        x = jnp.clip(cu0 + dx, 0, mw_arr - 1)
+        idx = base + y * mw_arr + x
+        return jnp.take(table, idx.reshape(-1), axis=0, mode="clip").reshape(
+            *idx.shape, 3
         )
-        av = (
-            cell(0, 0, allv[li].astype(jnp.float32), 0.0)
-            * cell(0, 1, allv[li].astype(jnp.float32), 0.0)
-            * cell(1, 0, allv[li].astype(jnp.float32), 0.0)
-            * cell(1, 1, allv[li].astype(jnp.float32), 0.0)
-        ) > 0.5
-        out_min.append(mn)
-        out_max.append(mx)
-        out_all.append(av)
-    sel = lambda lst: jnp.select([level == i for i in range(len(sizes))], lst, lst[-1])
-    return sel(out_min), sel(out_max), sel(out_all)
+
+    c = [cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1)]
+    mn = jnp.minimum(jnp.minimum(c[0][..., 0], c[1][..., 0]),
+                     jnp.minimum(c[2][..., 0], c[3][..., 0]))
+    mx = jnp.maximum(jnp.maximum(c[0][..., 1], c[1][..., 1]),
+                     jnp.maximum(c[2][..., 1], c[3][..., 1]))
+    av = (c[0][..., 2] * c[1][..., 2] * c[2][..., 2] * c[3][..., 2]) > 0.5
+    return mn, mx, av
 
 
 def classify_bricks(

@@ -366,12 +366,51 @@ def march_hier(
         coarse = march_skip(value, weight, ray_start, coarse_dir, cfg)
     else:
         coarse = march(value, ray_start, coarse_dir, cfg)
+    return _window_repair(value, ray_start, ray_dir.v, coarse, window, cfg)
+
+
+def march_hier2(
+    value: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+    window: int = 8,
+    window_mid: int = 12,
+) -> RaycastHit:
+    """Two-level hierarchical march: full-length march at quarter
+    resolution, ``window_mid``-step repair at half resolution, then a
+    ``window``-step repair at full resolution (anchors tighten as the
+    pyramid refines, so the final window can be short). Roughly half the
+    volume reads of :func:`march_hier`; same approximation class
+    (silhouette-edge events beyond the window are missed — gated
+    downstream). Opt-in via ``SlamConfig.raycast_march = "hier2"``."""
+    q_dir = ray_dir.v[:, ::4, ::4]
+    h_dir = ray_dir.v[:, ::2, ::2]
+    coarse = march(
+        value, ray_start, CSFD(q_dir, ray_dir.g[:, ::4, ::4]), cfg
+    )
+    mid = _window_repair(value, ray_start, h_dir, coarse, window_mid, cfg)
+    return _window_repair(value, ray_start, ray_dir.v, mid, window, cfg)
+
+
+def _window_repair(
+    value: jnp.ndarray,
+    ray_start: CSFD,
+    dirs_v: jnp.ndarray,
+    coarse: RaycastHit,
+    window: int,
+    cfg: VolumeConfig,
+) -> RaycastHit:
+    """March each pixel of ``dirs_v`` (3, H, W) only inside a ``window``-step
+    interval anchored at its 2x2 coarse-neighbourhood's earliest event
+    (``coarse`` is the half-resolution hit map)."""
+    X, Y, Z = value.shape
+    voxel = cfg.voxel_size
+    step = cfg.trunc_dist * 0.8
+    H, W = dirs_v.shape[-2:]
 
     # earliest event per coarse pixel; INF where none
     t_event = jnp.minimum(coarse.t_found, coarse.t_dead)
-    # expand to full res: min over the 2x2 coarse neighbourhood around each
-    # full-res pixel (up/left coarse cell and its +1 neighbours)
-    ch, cw = t_event.shape
 
     def nbhd_min(a):
         pads = jnp.pad(a, ((0, 1), (0, 1)), constant_values=INF_T)
@@ -391,7 +430,6 @@ def march_hier(
     t_begin = RAY_MIN_M + k0 * step
 
     start_v = ray_start.v[:, None, None]
-    dirs_v = ray_dir.v
 
     def voxel_of(p):
         return jnp.floor(p / voxel).astype(jnp.int32)
@@ -611,6 +649,8 @@ def raycast(
             vol.value, ray_start, ray_dir, cfg, window=hier_window,
             weight=vol.weight,
         )
+    elif march_mode == "hier2":
+        hit = march_hier2(vol.value, ray_start, ray_dir, cfg, window=hier_window)
     else:
         hit = march(vol.value, ray_start, ray_dir, cfg)
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
