@@ -111,6 +111,14 @@ def main():
                 v, ray_start, ray_dir, vol_cfg, window=12, weight=w
             )
         ),
+        "hier2_w8": jax.jit(
+            lambda v: raycast.march_hier2(v, ray_start, ray_dir, vol_cfg, window=8)
+        ),
+        "hier2_w6_m10": jax.jit(
+            lambda v: raycast.march_hier2(
+                v, ray_start, ray_dir, vol_cfg, window=6, window_mid=10
+            )
+        ),
     }
     for name, fn in variants.items():
         t0 = time.perf_counter()
