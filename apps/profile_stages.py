@@ -23,6 +23,9 @@ if os.environ.get("XSLAM_FORCE_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+from xslam_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 import numpy as np
 
 

@@ -24,6 +24,10 @@ import numpy as np
 def main():
     import jax
 
+    from xslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from xslam_tpu.io.config import SlamConfig
     from xslam_tpu.io.synthetic import SyntheticDataset
     from xslam_tpu.models.kinfu import XSlamEngine

@@ -122,3 +122,63 @@ def test_pytree_jit():
     x = cs.seed(jnp.float32(0.5))
     y = f(x)
     np.testing.assert_allclose(y.g, 2 * 0.5 * np.cos(0.25), rtol=1e-5)
+
+
+def test_extended_op_surface_vs_jax_grad():
+    """A1 completeness (cuda_complex.hpp:485-942): tanh/atanh/asinh/acosh/
+    log10/general pow derivatives must match jax.grad of the real twin."""
+    pairs = [
+        (cs.tanh, jnp.tanh, 0.7),
+        (cs.atanh, jnp.arctanh, 0.3),
+        (cs.asinh, jnp.arcsinh, 0.9),
+        (cs.acosh, jnp.arccosh, 1.7),
+        (cs.log10, jnp.log10, 2.5),
+    ]
+    for op, ref, x0 in pairs:
+        y = op(cs.seed(jnp.float32(x0)))
+        np.testing.assert_allclose(y.v, ref(x0), rtol=1e-6)
+        np.testing.assert_allclose(
+            y.g, jax.grad(ref)(jnp.float32(x0)), rtol=1e-5, atol=1e-6
+        )
+
+    # general pow: dual base AND dual exponent, validated against jvp
+    xv, yv = jnp.float32(1.7), jnp.float32(2.3)
+    out = cs.pow(cs.seed(xv, 1.0), cs.seed(yv, 0.5))
+    val, tang = jax.jvp(lambda a, b: a**b, (xv, yv), (jnp.float32(1.0), jnp.float32(0.5)))
+    np.testing.assert_allclose(out.v, val, rtol=1e-6)
+    np.testing.assert_allclose(out.g, tang, rtol=1e-5)
+
+
+def test_polar_and_conj():
+    rho = cs.seed(jnp.float32(2.0), 1.0)
+    theta = cs.seed(jnp.float32(0.6), 0.0)
+    re, im = cs.polar(rho, theta)
+    np.testing.assert_allclose(re.v, 2.0 * np.cos(0.6), rtol=1e-6)
+    np.testing.assert_allclose(im.v, 2.0 * np.sin(0.6), rtol=1e-6)
+    # d/drho of rho*cos(theta) = cos(theta)
+    np.testing.assert_allclose(re.g, np.cos(0.6), rtol=1e-6)
+    np.testing.assert_allclose(im.g, np.sin(0.6), rtol=1e-6)
+    # default theta=0 (reference's polar(rho) overload)
+    re0, im0 = cs.polar(cs.seed(jnp.float32(3.0)))
+    np.testing.assert_allclose(re0.v, 3.0)
+    np.testing.assert_allclose(im0.v, 0.0)
+
+    c = cs.conj(cs.seed(jnp.float32(1.5), 2.0))
+    np.testing.assert_allclose(c.v, 1.5)
+    np.testing.assert_allclose(c.g, -2.0)
+
+
+def test_raycast_march_mode_validation():
+    """Unknown march modes must raise, not silently fall back (ADVICE r1)."""
+    import pytest
+
+    from xslam_tpu.geometry.intrinsics import Intrinsics
+    from xslam_tpu.ops import fusion, raycast
+
+    vol_cfg = fusion.VolumeConfig((16, 16, 16), 0.12, 0.36, 100)
+    vol = fusion.create_volume(vol_cfg)
+    intr = Intrinsics(fx=20.0, fy=-20.0, cx=7.5, cy=5.5, width=16, height=12)
+    eye = cs.lift(jnp.eye(3, dtype=jnp.float32))
+    zero = cs.lift(jnp.zeros(3, jnp.float32))
+    with pytest.raises(ValueError, match="march_mode"):
+        raycast.raycast(vol, eye, zero, eye, zero, intr, vol_cfg, march_mode="heir2")

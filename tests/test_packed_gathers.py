@@ -130,10 +130,18 @@ def test_associate_rows_match_scalar_gathers():
     iy = jnp.asarray(rng.integers(-5, H + 5, size=(H, W), dtype=np.int32))
     ix = jnp.asarray(rng.integers(-5, W + 5, size=(H, W), dtype=np.int32))
 
+    def gather_map(m, iy, ix):
+        # per-plane scalar-gather oracle for the packed row gather
+        from xslam_tpu.ops.sampling import gather2d
+
+        vals = jnp.stack([gather2d(m.v[c], iy, ix, fill=jnp.nan) for c in range(3)])
+        grads = jnp.stack([gather2d(m.g[c], iy, ix, fill=0.0) for c in range(3)])
+        return CSFD(vals, grads)
+
     table = icp._pack_prev_maps(vprev, nprev)
     v_rows, n_rows = icp._gather_prev_rows(table, H, W, iy, ix)
-    v_ref = icp._gather_map(vprev, iy, ix)
-    n_ref = icp._gather_map(nprev, iy, ix)
+    v_ref = gather_map(vprev, iy, ix)
+    n_ref = gather_map(nprev, iy, ix)
 
     np.testing.assert_array_equal(np.asarray(v_rows.v), np.asarray(v_ref.v))
     np.testing.assert_array_equal(np.asarray(v_rows.g), np.asarray(v_ref.g))

@@ -192,6 +192,62 @@ def cosh(x: CSFD) -> CSFD:
     return _unary(x, jnp.cosh, lambda v, fv: jnp.sinh(v))
 
 
+def tanh(x: CSFD) -> CSFD:
+    # reference complex tanh (cuda_complex.hpp:770-793, IEEE edge handling
+    # dissolves: the dual rule is exact)
+    return _unary(x, jnp.tanh, lambda v, fv: 1.0 - fv * fv)
+
+
+def atanh(x: CSFD) -> CSFD:
+    # reference atanh (cuda_complex.hpp:697-723; its DoubleComplex twin has
+    # a log(a-a) bug, DoubleComplex.cpp:373 — documented, not replicated)
+    return _unary(x, jnp.arctanh, lambda v, fv: 1.0 / (1.0 - v * v))
+
+
+def asinh(x: CSFD) -> CSFD:
+    return _unary(x, jnp.arcsinh, lambda v, fv: jax.lax.rsqrt(v * v + 1.0))
+
+
+def acosh(x: CSFD) -> CSFD:
+    return _unary(x, jnp.arccosh, lambda v, fv: jax.lax.rsqrt(v * v - 1.0))
+
+
+_LN10 = 2.302585092994046
+
+
+def log10(x: CSFD) -> CSFD:
+    # reference log10 = log(z)/ln(10) (cuda_complex.hpp:570-580)
+    return _unary(x, jnp.log10, lambda v, fv: 1.0 / (v * _LN10))
+
+
+def pow(x: CSFD, y) -> CSFD:  # noqa: A001 - mirrors reference pow(z, w)
+    """General power with dual base and (optionally dual) exponent
+    (``pow(complex, complex)``, cuda_complex.hpp:617-638): the h->0 limit of
+    ``exp(w * log(z))`` for positive base values."""
+    x, y = lift(x), lift(y)
+    v = x.v ** y.v
+    return CSFD(v, v * (y.g * jnp.log(x.v) + y.v * x.g / x.v))
+
+
+def polar(rho: CSFD, theta: CSFD = None):
+    """Reference ``polar(rho, theta)`` (cuda_complex.hpp:534-545): builds the
+    pair (rho*cos(theta), rho*sin(theta)). The reference returns one complex
+    number; in the dual representation each component is itself a CSFD, so
+    this returns the tuple — full expressive parity, derivative lanes flow
+    through both components."""
+    rho = lift(rho)
+    if theta is None:
+        theta = lift(jnp.zeros_like(rho.v))
+    return rho * cos(theta), rho * sin(theta)
+
+
+def conj(x: CSFD) -> CSFD:
+    """Complex conjugate in CSFD semantics: negates the derivative lane
+    (conj of ``x + i*h*g`` is ``x - i*h*g``, cuda_complex.hpp:485-505)."""
+    x = lift(x)
+    return CSFD(x.v, -x.g)
+
+
 def atan(x: CSFD) -> CSFD:
     return _unary(x, jnp.arctan, lambda v, fv: 1.0 / (1.0 + v * v))
 

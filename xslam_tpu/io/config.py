@@ -71,12 +71,21 @@ class SlamConfig:
     # repair-window length (march steps) for the hier modes (the finest
     # level in "hier2"; its mid level uses march_hier's default of 12)
     raycast_hier_window: int = 12
+    # fetch refinement trilinear taps from a packed row table (fewer gather
+    # issues; costs an 8-float-per-voxel transient — disable for volumes
+    # where 4x the value+grad footprint doesn't fit HBM)
+    raycast_packed_taps: bool = True
 
     # fusion strategy: "dense" = per-voxel depth sampling (reference
     # semantics); "brick" = conservative brick culling (bit-equivalent,
     # depth gathers bounded by fusion_brick_cap * 512)
     fusion_mode: str = "dense"
     fusion_brick_cap: int = 8192
+    # what to do when a frame's ACTIVE bricks exceed fusion_brick_cap:
+    # "flag" = report it in FrameResult.fusion_overflow (callers decide);
+    # "dense" = automatically re-integrate the frame with the exact dense
+    # path inside the same jit (no update is ever lost, costs compile size)
+    fusion_overflow: str = "flag"
 
     # ICP (ICL_traj2.yaml:43-46; iterations {5,4,3} hard-coded in
     # KinectFusionReconstruction.cpp:54)

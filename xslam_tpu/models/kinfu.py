@@ -48,6 +48,9 @@ class FrameResult(NamedTuple):
     camera2world: CSFD  # (4, 4) dual pose estimate of this frame
     align_ok: jnp.ndarray
     inlier_count: jnp.ndarray
+    # brick-fusion ACTIVE list overflow this frame (always False for dense
+    # fusion and for fusion_overflow="dense", which re-integrates densely)
+    fusion_overflow: jnp.ndarray
 
 
 class XSlamEngine:
@@ -280,16 +283,35 @@ def process_frame(
                 bi_threshold=config.bi_interpolate_threshold,
                 cap=config.fusion_brick_cap,
             )
-            return out
+            if config.fusion_overflow == "dense":
+                # overflow recovery: redo the frame with the exact dense
+                # path from the pre-frame volume — no map update is ever
+                # silently dropped
+                out = jax.lax.cond(
+                    overflow,
+                    lambda v: fusion.integrate(
+                        v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                        bi_threshold=config.bi_interpolate_threshold,
+                    ),
+                    lambda v: out,
+                    vol,
+                )
+                overflow = jnp.bool_(False)
+            return out, overflow
     else:
 
         def integrate_fn(vol):
-            return fusion.integrate(
-                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
-                bi_threshold=config.bi_interpolate_threshold,
+            return (
+                fusion.integrate(
+                    vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                    bi_threshold=config.bi_interpolate_threshold,
+                ),
+                jnp.bool_(False),
             )
 
-    volume = jax.lax.cond(do_integrate, integrate_fn, lambda v: v, state.volume)
+    volume, fusion_overflow = jax.lax.cond(
+        do_integrate, integrate_fn, lambda v: (v, jnp.bool_(False)), state.volume
+    )
 
     # --- model maps for the next frame's ICP ------------------------------
     r_c2v, t_c2v = se3.rotation(c2v), se3.translation(c2v)
@@ -300,6 +322,7 @@ def process_frame(
         normals_mode=config.raycast_normals,
         march_mode=config.raycast_march,
         hier_window=config.raycast_hier_window,
+        packed_taps=config.raycast_packed_taps,
     )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]
@@ -317,7 +340,10 @@ def process_frame(
         frame_idx=state.frame_idx + config.frame_step,
         last_align_ok=align_ok,
     )
-    return new_state, FrameResult(camera2world=c2w, align_ok=align_ok, inlier_count=inliers)
+    return new_state, FrameResult(
+        camera2world=c2w, align_ok=align_ok, inlier_count=inliers,
+        fusion_overflow=fusion_overflow,
+    )
 
 
 def _resize_nmap_dual(n: CSFD) -> CSFD:

@@ -25,20 +25,12 @@ import jax.numpy as jnp
 from ..csfd import vec3
 from ..csfd.single import CSFD, lift, solve
 from ..geometry.intrinsics import Intrinsics
-from .sampling import gather2d
 
 
 class IcpSystem(NamedTuple):
     A: CSFD  # (6, 6) dual normal matrix
     b: CSFD  # (6,) dual rhs
     inlier_count: jnp.ndarray  # scalar
-
-
-def _gather_map(m: CSFD, iy, ix) -> CSFD:
-    """Gather a dual (3, H, W) map at integer pixel coords -> dual (3, ...)."""
-    vals = jnp.stack([gather2d(m.v[c], iy, ix, fill=jnp.nan) for c in range(3)])
-    grads = jnp.stack([gather2d(m.g[c], iy, ix, fill=0.0) for c in range(3)])
-    return CSFD(vals, grads)
 
 
 def _pack_prev_maps(vmap_g_prev: CSFD, nmap_g_prev: CSFD) -> jnp.ndarray:
@@ -55,7 +47,7 @@ def _pack_prev_maps(vmap_g_prev: CSFD, nmap_g_prev: CSFD) -> jnp.ndarray:
 
 def _gather_prev_rows(table: jnp.ndarray, H: int, W: int, iy, ix):
     """Row-gather the packed prev maps; out-of-image pixels get the same
-    sentinels as :func:`_gather_map` (NaN values, zero grads)."""
+    sentinels as per-plane scalar gathers would (NaN values, zero grads)."""
     ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
     flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
     r = jnp.take(table, flat.reshape(-1), axis=0, mode="clip").reshape(

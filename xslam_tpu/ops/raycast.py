@@ -402,8 +402,10 @@ def _window_repair(
     cfg: VolumeConfig,
 ) -> RaycastHit:
     """March each pixel of ``dirs_v`` (3, H, W) only inside a ``window``-step
-    interval anchored at its 2x2 coarse-neighbourhood's earliest event
-    (``coarse`` is the half-resolution hit map)."""
+    interval anchored at its 2x2 coarse-neighbourhood's earliest event.
+    ``coarse`` is the hit map one pyramid level above ``dirs_v`` (2x
+    subsampled relative to it — not necessarily half the *full* resolution:
+    ``march_hier2`` repairs quarter->half->full)."""
     X, Y, Z = value.shape
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
@@ -626,6 +628,9 @@ def finalize_maps(vmap, nmap, v_ok, n_ok) -> Tuple[CSFD, CSFD]:
     return vm, nm
 
 
+MARCH_MODES = ("fixed", "skip", "hier", "hier_skip", "hier2")
+
+
 def raycast(
     vol: VolumeState,
     r_c2v: CSFD,
@@ -637,8 +642,17 @@ def raycast(
     normals_mode: str = "tsdf",
     march_mode: str = "fixed",
     hier_window: int = 12,
+    packed_taps: bool = True,
 ) -> Tuple[CSFD, CSFD]:
-    """Single-chip raycast: march + refine + NaN sentinels."""
+    """Single-chip raycast: march + refine + NaN sentinels.
+
+    ``packed_taps``: route refinement through the :func:`pack_vg_yz` row
+    table (fewer gather issues, but an 8-float-per-voxel transient — disable
+    for large volumes where 4x the value+grad footprint doesn't fit)."""
+    if march_mode not in MARCH_MODES:
+        raise ValueError(
+            f"unknown raycast march_mode {march_mode!r}; expected one of {MARCH_MODES}"
+        )
     ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
     if march_mode == "skip":
         hit = march_skip(vol.value, vol.weight, ray_start, ray_dir, cfg)
@@ -656,7 +670,7 @@ def raycast(
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
     vmap, nmap, v_ok, n_ok = refine(
         vol, ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg,
-        normals_mode=normals_mode,
+        normals_mode=normals_mode, packed_taps=packed_taps,
     )
     vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
     if normals_mode == "screen":

@@ -178,7 +178,9 @@ def _process_frame_sharded(
             brick_cap=max(256, config.fusion_brick_cap // mesh.devices.size),
         )
 
-    volume = jax.lax.cond(do_integrate, integrate_fn, lambda v: v, state.volume)
+    volume, fusion_overflow = jax.lax.cond(
+        do_integrate, integrate_fn, lambda v: (v, jnp.bool_(False)), state.volume
+    )
 
     v2w = se3.inverse(w2v)
     vmap0, nmap0 = sharded_raycast(
@@ -202,4 +204,7 @@ def _process_frame_sharded(
         frame_idx=state.frame_idx + config.frame_step,
         last_align_ok=align_ok,
     )
-    return new_state, FrameResult(camera2world=c2w, align_ok=align_ok, inlier_count=inliers)
+    return new_state, FrameResult(
+        camera2world=c2w, align_ok=align_ok, inlier_count=inliers,
+        fusion_overflow=fusion_overflow,
+    )

@@ -45,9 +45,10 @@ def sharded_integrate(
     vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
     fusion_mode: str = "dense", brick_cap: int = 2048,
 ):
-    """Per-slab fusion; no communication. ``fusion_mode="brick"`` runs the
-    brick-compacted variant per shard (each slab classifies and compacts its
-    own bricks; ``brick_cap`` is the per-shard active cap)."""
+    """Per-slab fusion; the only communication is the psum'd overflow flag.
+    ``fusion_mode="brick"`` runs the brick-compacted variant per shard (each
+    slab classifies and compacts its own bricks; ``brick_cap`` is the
+    per-shard active cap). Returns ``(volume, any_shard_overflowed)``."""
 
     def stage(vol, depth_m, r_v2c, t_v2c):
         idx = jax.lax.axis_index(SPACE_AXIS)
@@ -55,16 +56,19 @@ def sharded_integrate(
         if fusion_mode == "brick":
             from ..ops import fusion_brick
 
-            out, _overflow = fusion_brick.integrate_brick(
+            out, overflow = fusion_brick.integrate_brick(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 bi_threshold=bi_threshold, cap=brick_cap,
                 x_offset=idx * local_x,
             )
-            return out
-        return fusion.integrate(
-            vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
-            bi_threshold=bi_threshold, x_offset=idx * local_x,
-        )
+        else:
+            out = fusion.integrate(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                bi_threshold=bi_threshold, x_offset=idx * local_x,
+            )
+            overflow = jnp.bool_(False)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), SPACE_AXIS) > 0
+        return out, overflow
 
     from jax.sharding import PartitionSpec as P
 
@@ -77,7 +81,7 @@ def sharded_integrate(
         stage,
         mesh=mesh,
         in_specs=(vol_spec, P(), CSFD(P(), P()), CSFD(P(), P())),
-        out_specs=vol_spec,
+        out_specs=(vol_spec, P()),
         check_vma=False,
     )(vol, depth_m, r_v2c, t_v2c)
 
