@@ -25,6 +25,8 @@ count drops from 16.7M to ``cap * 512`` (2-4M typical).
 
 from __future__ import annotations
 
+import builtins
+
 from typing import Tuple
 
 import jax
@@ -46,18 +48,27 @@ def _mip_sizes(H, W):
 
 def _depth_mips(depth_m: jnp.ndarray):
     """Per-tile (min over valid, max over valid, all-valid) at several tile
-    sizes. Invalid (0) pixels -> +inf / -inf so they never bound."""
+    sizes, with edge tiles PADDED to full image coverage so every in-image
+    footprint has a conservative window (round-1 dropped partial edge tiles,
+    forcing whole edge strips to ACTIVE). Pad semantics: min=+inf / max=-inf
+    (padding never bounds — sampled pixels are always in-image) and
+    valid=True (the all-valid gate only matters under ``fully_inside``,
+    where the window never reaches padding-only cells)."""
     H, W = depth_m.shape
     valid = depth_m > 0.0
     sizes = _mip_sizes(H, W)
+    d_min_src = jnp.where(valid, depth_m, jnp.inf)
+    d_max_src = jnp.where(valid, depth_m, -jnp.inf)
     mins, maxs, allv = [], [], []
     for ts in sizes:
-        h, w = H // ts, W // ts
-        d = depth_m[: h * ts, : w * ts].reshape(h, ts, w, ts)
-        v = valid[: h * ts, : w * ts].reshape(h, ts, w, ts)
-        mins.append(jnp.min(jnp.where(v, d, jnp.inf), axis=(1, 3)))
-        maxs.append(jnp.max(jnp.where(v, d, -jnp.inf), axis=(1, 3)))
-        allv.append(jnp.all(v, axis=(1, 3)))
+        h, w = -(-H // ts), -(-W // ts)
+        py, px = h * ts - H, w * ts - W
+        mn = jnp.pad(d_min_src, ((0, py), (0, px)), constant_values=jnp.inf)
+        mx = jnp.pad(d_max_src, ((0, py), (0, px)), constant_values=-jnp.inf)
+        va = jnp.pad(valid, ((0, py), (0, px)), constant_values=True)
+        mins.append(jnp.min(mn.reshape(h, ts, w, ts), axis=(1, 3)))
+        maxs.append(jnp.max(mx.reshape(h, ts, w, ts), axis=(1, 3)))
+        allv.append(jnp.all(va.reshape(h, ts, w, ts), axis=(1, 3)))
     return sizes, mins, maxs, allv
 
 
@@ -131,10 +142,9 @@ def classify_bricks(
     bz0 = (jnp.arange(nb[2], dtype=jnp.float32))[None, None, :] * (BRICK * vs)
     bm = BRICK * vs
 
-    # project all 8 brick corners: tight image-space bbox + camera-distance
-    # interval (exact for the convex brick, vs the old bounding-sphere bound)
+    # project all 8 brick corners: tight image-space bbox + camera-z interval
     R, t = r_v2c_v, t_v2c_v
-    us, vs_, zs, ds_ = [], [], [], []
+    us, vs_, zs = [], [], []
     for dx in (0.0, bm):
         for dy in (0.0, bm):
             for dz in (0.0, bm):
@@ -143,7 +153,6 @@ def classify_bricks(
                 cy_ = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
                 cz_ = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
                 zs.append(cz_)
-                ds_.append(jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_))
                 zc = jnp.maximum(cz_, 1e-6)
                 us.append(intr.fx * cx_ / zc + intr.cx)
                 vs_.append(intr.fy * cy_ / zc + intr.cy)
@@ -152,16 +161,25 @@ def classify_bricks(
     for z in zs[1:]:
         zmin = jnp.minimum(zmin, z)
         zmax = jnp.maximum(zmax, z)
-    # distance interval: corner max is exact for the max; the min over the
-    # solid brick can undershoot corner-min by at most half the diagonal
-    dmax_c = ds_[0]
-    dmin_c = ds_[0]
-    for d in ds_[1:]:
-        dmax_c = jnp.maximum(dmax_c, d)
-        dmin_c = jnp.minimum(dmin_c, d)
-    half_diag = 0.5 * bm * float(np.sqrt(3.0))
-    dist_min = jnp.maximum(dmin_c - half_diag, 1e-3)
-    dist_max = dmax_c
+
+    # exact camera-distance interval of the solid brick: the brick is an
+    # axis-aligned box in volume coords, so point-to-box distances from the
+    # camera origin (in volume coords, o = -R^T t) are exact — much tighter
+    # than the round-1 corner-min - half-diagonal bound
+    ox = -(R[0, 0] * t[0] + R[1, 0] * t[1] + R[2, 0] * t[2])
+    oy = -(R[0, 1] * t[0] + R[1, 1] * t[1] + R[2, 1] * t[2])
+    oz = -(R[0, 2] * t[0] + R[1, 2] * t[1] + R[2, 2] * t[2])
+
+    def axis_interval(b0, o):
+        lo = jnp.abs(o - jnp.clip(o, b0, b0 + bm))
+        hi = jnp.maximum(jnp.abs(b0 - o), jnp.abs(b0 + bm - o))
+        return lo, hi
+
+    dxl, dxh = axis_interval(bx0, ox)
+    dyl, dyh = axis_interval(by0, oy)
+    dzl, dzh = axis_interval(bz0, oz)
+    dist_min = jnp.maximum(jnp.sqrt(dxl * dxl + dyl * dyl + dzl * dzl), 1e-3)
+    dist_max = jnp.sqrt(dxh * dxh + dyh * dyh + dzh * dzh)
 
     umin, umax = us[0], us[0]
     vmin, vmax = vs_[0], vs_[0]
@@ -193,6 +211,7 @@ def classify_bricks(
     v = 0.5 * (vmin + vmax)
 
     # choose the mip whose 2x2-cell window covers the footprint: cell >= pr
+    # (mips are edge-padded, so the window always covers the in-image part)
     mips = _depth_mips(depth_m)
     sizes = mips[0]
     level = jnp.searchsorted(jnp.asarray(sizes, jnp.float32), pr.reshape(-1)).reshape(pr.shape)
@@ -203,27 +222,37 @@ def classify_bricks(
     cv = jnp.clip((v - pr).astype(jnp.int32), 0, H - 1)
     dmin, dmax, all_valid = _footprint_bounds(mips, level, cu, cv)
 
-    # the mip must actually cover the footprint (edge tiles beyond h*ts are
-    # dropped from the pyramid -> not conservative there)
-    ts_sel = jnp.asarray(sizes, jnp.float32)[level]
-    cov_w = (W // ts_sel.astype(jnp.int32)) * ts_sel.astype(jnp.int32)
-    cov_h = (H // ts_sel.astype(jnp.int32)) * ts_sel.astype(jnp.int32)
-    covered = (u + pr <= cov_w.astype(jnp.float32)) & (v + pr <= cov_h.astype(jnp.float32))
+    # per-brick lambda = |(pixel ray) direction| interval over the footprint
+    # bbox clipped to the image (sampled pixels are always in-image):
+    # lam(u,v) = sqrt(((u-cx)/fx)^2 + ((v-cy)/fy)^2 + 1)
+    ucl0 = jnp.clip(umin, 0.0, W - 1.0)
+    ucl1 = jnp.clip(umax, 0.0, W - 1.0)
+    vcl0 = jnp.clip(vmin, 0.0, H - 1.0)
+    vcl1 = jnp.clip(vmax, 0.0, H - 1.0)
 
-    classify_ok = z_safe & fully_inside & level_ok & covered
-    lam_max = float(np.sqrt(
-        ((W / 2) / min(abs(intr.fx), abs(intr.fy))) ** 2
-        + ((H / 2) / min(abs(intr.fx), abs(intr.fy))) ** 2
-        + 1.0
-    ))
+    def coord_interval(c0, c1, centre, f):
+        a0, a1 = jnp.abs(c0 - centre), jnp.abs(c1 - centre)
+        inside = (c0 <= centre) & (centre <= c1)
+        lo = jnp.where(inside, 0.0, jnp.minimum(a0, a1)) / builtins.abs(f)
+        hi = jnp.maximum(a0, a1) / builtins.abs(f)
+        return lo, hi
 
-    # NONE: entirely beyond the band behind the surface (lam >= 1 lower
-    # bound on the voxel side, lam_max upper bound on the sample side)
+    xl_lo, xl_hi = coord_interval(ucl0, ucl1, intr.cx, intr.fx)
+    yl_lo, yl_hi = coord_interval(vcl0, vcl1, intr.cy, intr.fy)
+    lam_min = jnp.sqrt(xl_lo * xl_lo + yl_lo * yl_lo + 1.0)
+    lam_max = jnp.sqrt(xl_hi * xl_hi + yl_hi * yl_hi + 1.0)
+
+    proj_ok = z_safe & level_ok
+
+    # NONE: entirely beyond the band behind the surface. Valid for PARTIAL
+    # bricks too: out-of-image / invalid-depth voxels never update, and the
+    # window bounds cover exactly the in-image valid pixels (a footprint
+    # with no valid pixel gives dmax = -inf -> NONE automatically).
     sdf_upper = dmax * lam_max - dist_min
-    none_by_band = classify_ok & (sdf_upper < -cfg.trunc_dist)
-    # FAR: every voxel valid and provably sdf > trunc
-    sdf_lower = dmin * 1.0 - dist_max
-    far = classify_ok & all_valid & (sdf_lower > cfg.trunc_dist)
+    none_by_band = proj_ok & (sdf_upper < -cfg.trunc_dist)
+    # FAR: every voxel in-image, every sample valid, provably sdf > trunc
+    sdf_lower = dmin * lam_min - dist_max
+    far = proj_ok & fully_inside & all_valid & (sdf_lower > cfg.trunc_dist)
 
     none = fully_behind | fully_outside | none_by_band
     cls = jnp.where(none, 0, 2)
