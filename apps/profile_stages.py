@@ -1,13 +1,16 @@
 """Per-stage TPU timing of the SLAM frame pipeline (fast verified config).
 
-Times each stage of ``process_frame`` (models/kinfu.py) as its own jit:
-preprocessing, brick fusion, hierarchical march, secant refinement + screen
-normals + pyramid resize, and the 3-level fixed-association ICP. Volume
-state is produced by running the fusion stage itself over a few synthetic
-frames with ground-truth poses (no full-pipeline compile needed).
+Times each stage of ``process_frame`` (models/kinfu.py) as its own jit, in
+the round-2 bench configuration: persistent brick-major volume, brick
+fusion, skip-anchored hierarchical march at half-resolution model maps,
+screen normals, fixed-association ICP. Volume state is produced by running
+the fusion stage itself over a few synthetic frames with ground-truth poses
+(no full-pipeline compile needed).
 
 Timing through the axon relay: dispatch is async and ``block_until_ready``
-can be a no-op, so each lap is closed by fetching a tiny scalar slice.
+can be a no-op, so each lap is closed by fetching a tiny scalar slice; each
+stage line therefore carries ~25-30 ms of relay dispatch overhead that the
+single-dispatch full pipeline pays only once.
 
 Usage: python -u apps/profile_stages.py [reps]
 """
@@ -60,17 +63,22 @@ def main():
     from xslam_tpu.geometry import se3
     from xslam_tpu.io.config import SlamConfig
     from xslam_tpu.io.synthetic import SyntheticDataset
-    from xslam_tpu.ops import fusion, fusion_brick, icp, preprocess, raycast
+    from xslam_tpu.ops import bricks, fusion, fusion_brick, icp, preprocess
+    from xslam_tpu.ops import raycast, raycast_bricks
 
     config = SlamConfig(
-        fusion_mode="brick", raycast_normals="screen",
-        raycast_march="hier", icp_fixed_assoc=True,
+        volume_layout="brick", fusion_mode="brick", fusion_brick_cap=6144,
+        raycast_normals="screen", raycast_march="hier_skip",
+        model_map_level=1, icp_fixed_assoc=True,
     )
     intr = config.intrinsics
+    L = config.model_map_level
+    model_intr = intr.level(L)
     vol_cfg = fusion.VolumeConfig(
         resolution=tuple(config.tsdf_size), voxel_size=config.voxel_size,
         trunc_dist=config.trunc_dist, max_weight=config.max_integration_weight,
     )
+    res = vol_cfg.resolution
     w2v_np = np.asarray(config.world2volume, np.float32)
     ds = SyntheticDataset(n_frames=8, degrees_per_frame=0.4)
     levels = config.num_levels
@@ -99,7 +107,7 @@ def main():
 
     def fuse_fn(vol, depth_u16, r_v2c, t_v2c):
         depth_m = fusion.scale_depth(depth_u16)
-        out, _ = fusion_brick.integrate_brick(
+        out, _ = fusion_brick.integrate_rows(
             vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
             bi_threshold=config.bi_interpolate_threshold,
             cap=config.fusion_brick_cap,
@@ -111,22 +119,50 @@ def main():
 
     @jax.jit
     def rays_of(r_c2v, t_c2v):
-        return raycast._camera_rays(r_c2v, t_c2v, intr)
+        return raycast._camera_rays(r_c2v, t_c2v, model_intr)
 
     @jax.jit
-    def march_stage(value, ray_start, ray_dir):
-        return raycast.march_hier(value, ray_start, ray_dir, vol_cfg)
+    def skip_pack(vol):
+        return bricks.skip_rows(vol, res)
+
+    @jax.jit
+    def coarse_march_stage(packed, ray_start, ray_dir):
+        coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
+        read = raycast_bricks._value_reader(packed, res)
+        return raycast.march_skip(
+            None, None, ray_start, coarse_dir, vol_cfg,
+            packed_read=read, shape=res,
+        )
+
+    @jax.jit
+    def repair_stage(value_rows, ray_start, ray_dir, coarse):
+        read = raycast_bricks._value_reader(value_rows, res)
+        return raycast._window_repair(
+            None, ray_start, ray_dir.v, coarse, config.raycast_hier_window,
+            vol_cfg, read_fn=read, shape=res,
+        )
 
     v2w = np.linalg.inv(w2v_np).astype(np.float32)
 
     @jax.jit
     def refine_stage(vol, ray_start, ray_dir, hit_found, hit_dead):
+        from xslam_tpu.csfd import vec3
+
         r_v2w = lift(jnp.asarray(v2w[:3, :3]))
         t_v2w = lift(jnp.asarray(v2w[:3, 3]))
         accept = hit_found < jnp.minimum(hit_dead, raycast.INF_T)
+
+        def trilin_at(p):
+            return raycast_bricks.trilinear_bricks(
+                vol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+                vol_cfg.voxel_size,
+            )
+
+        shape_only = jax.ShapeDtypeStruct(res, jnp.float32)
         vmap, nmap, v_ok, n_ok = raycast.refine(
-            vol, ray_start, ray_dir, hit_found, accept,
-            r_v2w, t_v2w, vol_cfg, normals_mode="screen",
+            fusion.VolumeState(shape_only, shape_only, shape_only),
+            ray_start, ray_dir, hit_found, accept,
+            r_v2w, t_v2w, vol_cfg, normals_mode="screen", trilin_fn=trilin_at,
         )
         vmap, nmap = raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
         nmap = raycast.screen_normals(vmap)
@@ -151,14 +187,14 @@ def main():
             iters = config.icp_iterations[level]
             level_assoc = icp.associate(
                 r_curr, t_curr, vmaps_curr[level], r_prev_inv, t_prev,
-                intr.level(level), vmaps_prev[level], nmaps_prev[level],
+                intr.level(level + L), vmaps_prev[level], nmaps_prev[level],
             )
 
             def body(carry, _, level=level, level_assoc=level_assoc):
                 r_curr, t_curr = carry
                 system = icp.build_system(
                     r_curr, t_curr, vmaps_curr[level], nmaps_curr[level],
-                    r_prev_inv, t_prev, intr.level(level),
+                    r_prev_inv, t_prev, intr.level(level + L),
                     vmaps_prev[level], nmaps_prev[level],
                     config.dist_thres, config.angle_thres_sine, assoc=level_assoc,
                 )
@@ -176,7 +212,7 @@ def main():
 
     # ---- build realistic state with gt poses ------------------------------
     t_all0 = time.perf_counter()
-    vol = fusion.create_volume(vol_cfg)
+    vol = bricks.create(vol_cfg)
     for i in range(4):
         d = jnp.asarray(ds.get_depth(i))
         r_v2c, t_v2c, _, _ = pose_pieces(jnp.asarray(ds.get_pose(i), jnp.float32))
@@ -195,14 +231,20 @@ def main():
     _, vmaps_curr, nmaps_curr = prep_out
 
     t, _ = lap(fuse_keep, vol, depth, r_v2c, t_v2c, reps=reps)
-    results["fusion_brick"] = t
+    results["fusion_rows"] = t
 
     t, ray_out = lap(rays_of, r_c2v, t_c2v)
     results["camera_rays"] = t
     ray_dir, ray_start = ray_out
 
-    t, hit = lap(march_stage, vol.value, ray_start, ray_dir, reps=reps)
-    results["march_hier"] = t
+    t, packed = lap(skip_pack, vol, reps=reps)
+    results["skip_rows_build"] = t
+
+    t, coarse = lap(coarse_march_stage, packed, ray_start, ray_dir, reps=reps)
+    results["coarse_skip_march"] = t
+
+    t, hit = lap(repair_stage, vol.value, ray_start, ray_dir, coarse, reps=reps)
+    results["window_repair"] = t
 
     t, maps = lap(refine_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead, reps=reps)
     results["refine+normals+resize"] = t

@@ -102,7 +102,11 @@ def main():
 
         pc = jax.jit(
             lambda vol: extract_points(vol, engine.vol_cfg, capacity=1_000_000)
-        )(state.volume)
+        )(
+            engine.dense_volume(state)
+            if hasattr(engine, "dense_volume")
+            else state.volume
+        )
         n = int(pc.count)
         os.makedirs(out_dir, exist_ok=True)
         export_ply(

@@ -1,0 +1,174 @@
+"""Persistent brick-major volume layout: bit-equivalence with the dense
+layout at every level (fusion rows, raycast events, refinement, full
+engine), plus the half-resolution model-map accuracy envelope."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xslam_tpu.csfd.single import CSFD, lift
+from xslam_tpu.geometry import se3
+from xslam_tpu.ops import bricks, fusion, fusion_brick, raycast, raycast_bricks
+from xslam_tpu.models.kinfu import XSlamEngine
+from tests.helpers import SMALL_INTR, small_config, small_dataset
+
+
+def _vol_cfg(cfg):
+    return fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+
+
+def _fused_states(n_frames=3):
+    """Run n_frames of gt-pose fusion in both layouts; return (dense, brick)."""
+    cfg = small_config()
+    vol_cfg = _vol_cfg(cfg)
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(n_frames, degrees_per_frame=1.0)
+
+    dense = fusion.create_volume(vol_cfg)
+    brick = bricks.create(vol_cfg)
+    integ_d = jax.jit(
+        lambda v, d, r, t: fusion.integrate(v, d, r, t, SMALL_INTR, vol_cfg)
+    )
+    integ_r = jax.jit(
+        lambda v, d, r, t: fusion_brick.integrate_rows(
+            v, d, r, t, SMALL_INTR, vol_cfg, cap=512
+        )
+    )
+    for i in range(n_frames):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(
+            lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32))
+        )
+        v2c = se3.inverse(c2v)
+        r, t = se3.rotation(v2c), se3.translation(v2c)
+        dense = integ_d(dense, dm, r, t)
+        brick, overflow = integ_r(brick, dm, r, t)
+        assert not bool(overflow)
+    return cfg, vol_cfg, w2v, ds, dense, brick
+
+
+def test_integrate_rows_equals_dense():
+    _, vol_cfg, _, _, dense, brick = _fused_states(3)
+    back = bricks.to_dense(brick, vol_cfg.resolution)
+    np.testing.assert_array_equal(np.asarray(dense.weight), np.asarray(back.weight))
+    # value/grad: XLA fuses the two programs differently (fma /
+    # reassociation), same tolerance as test_brick_fusion_equals_dense
+    np.testing.assert_allclose(
+        np.asarray(dense.value), np.asarray(back.value), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(dense.grad), np.asarray(back.grad), atol=1e-5)
+
+
+def test_brick_gather_matches_gather3d():
+    from xslam_tpu.ops.sampling import gather3d
+
+    rng = np.random.default_rng(0)
+    res = (16, 24, 32)
+    v = jnp.asarray(rng.standard_normal(res).astype(np.float32))
+    bv = fusion_brick.to_bricks(v)
+    ix = jnp.asarray(rng.integers(-3, res[0] + 3, size=500, dtype=np.int32))
+    iy = jnp.asarray(rng.integers(-3, res[1] + 3, size=500, dtype=np.int32))
+    iz = jnp.asarray(rng.integers(-3, res[2] + 3, size=500, dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(bricks.gather(bv, res, ix, iy, iz, fill=-7.0)),
+        np.asarray(gather3d(v, ix, iy, iz, fill=-7.0)),
+    )
+
+
+def test_skip_rows_equals_skip_volume():
+    # compare both packings on the SAME volume data (the two fusion paths
+    # agree only to float-reassociation level, which could flip borderline
+    # signs) — convert the brick state to dense for the dense packing
+    _, vol_cfg, _, _, _, brick = _fused_states(2)
+    dense_twin = bricks.to_dense(brick, vol_cfg.resolution)
+    dense_packed = raycast.skip_volume(dense_twin.value, dense_twin.weight)
+    rows_packed = bricks.skip_rows(brick, vol_cfg.resolution)
+    np.testing.assert_array_equal(
+        np.asarray(dense_packed),
+        np.asarray(fusion_brick.from_bricks(rows_packed, vol_cfg.resolution)),
+    )
+
+
+def test_raycast_bricks_equals_dense_raycast():
+    """raycast_bricks in 'skip' mode must reproduce the dense engine's
+    march='skip' raycast bit-for-bit (events + trilinear refinement +
+    normals, both modes)."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(2)
+    dense = bricks.to_dense(brick, vol_cfg.resolution)  # identical data
+    c2v = se3.matmul(
+        lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(1), jnp.float32))
+    )
+    v2w = se3.inverse(lift(jnp.asarray(w2v)))
+    args = (
+        se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    for normals in ("screen", "tsdf"):
+        vm_d, nm_d = jax.jit(
+            lambda vol, a, b, c, d, normals=normals: raycast.raycast(
+                vol, a, b, c, d, SMALL_INTR, vol_cfg,
+                normals_mode=normals, march_mode="skip", packed_taps=False,
+            )
+        )(dense, *args)
+        vm_b, nm_b = jax.jit(
+            lambda vol, a, b, c, d, normals=normals: raycast_bricks.raycast_bricks(
+                vol, a, b, c, d, SMALL_INTR, vol_cfg,
+                normals_mode=normals, march_mode="skip",
+            )
+        )(brick, *args)
+        np.testing.assert_array_equal(np.asarray(vm_d.v), np.asarray(vm_b.v))
+        np.testing.assert_array_equal(np.asarray(vm_d.g), np.asarray(vm_b.g))
+        np.testing.assert_array_equal(np.asarray(nm_d.v), np.asarray(nm_b.v))
+        np.testing.assert_array_equal(np.asarray(nm_d.g), np.asarray(nm_b.g))
+
+
+def _run_engine(ds, n, **over):
+    cfg = small_config(end_frame=n, **over)
+    eng = XSlamEngine(cfg)
+    st = eng.init_state()
+    poses = []
+    for i in range(n):
+        st, res = eng.process_frame(st, ds.get_depth(i))
+        poses.append(np.asarray(res.camera2world.v))
+        assert not bool(res.fusion_overflow)
+    return st, poses, eng
+
+
+def test_brick_engine_matches_dense_engine():
+    """Full tracking runs: volume_layout='brick' (march skip) must produce
+    the exact poses of the dense layout with fusion_mode='brick' +
+    march='skip' (all stages bit-equivalent)."""
+    ds = small_dataset(5, degrees_per_frame=1.0)
+    common = dict(
+        fusion_mode="brick", raycast_march="skip", raycast_normals="screen",
+        raycast_packed_taps=False,
+    )
+    _, poses_d, _ = _run_engine(ds, 5, volume_layout="dense", **common)
+    st_b, poses_b, eng_b = _run_engine(ds, 5, volume_layout="brick", **common)
+    for pd, pb in zip(poses_d, poses_b):
+        np.testing.assert_array_equal(pd, pb)
+    # dense_volume round-trip sanity
+    dv = eng_b.dense_volume(st_b)
+    assert dv.value.shape == tuple(eng_b.config.tsdf_size)
+
+
+def test_brick_engine_halfres_model_maps_ate():
+    """model_map_level=1 (half-res raycast model maps) must stay inside the
+    tracking-accuracy envelope on the small workload."""
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    n = 8
+    ds = small_dataset(n, degrees_per_frame=1.0)
+    _, poses, _ = _run_engine(
+        ds, n,
+        volume_layout="brick", fusion_mode="brick", raycast_march="hier_skip",
+        raycast_normals="screen", model_map_level=1, icp_fixed_assoc=True,
+    )
+    gt = normalize_to_first([ds.get_pose(i) for i in range(n)])
+    est = normalize_to_first(poses)
+    ate = ate_rmse(est, gt)
+    # envelope: the full-res dense run achieves ~0.02 m at this scale
+    # (voxels are 12 cm here); half-res model maps must stay comparable
+    assert ate < 0.05, f"ATE {ate} out of envelope"

@@ -76,6 +76,21 @@ class SlamConfig:
     # where 4x the value+grad footprint doesn't fit HBM)
     raycast_packed_taps: bool = True
 
+    # volume storage layout: "dense" = (X, Y, Z) arrays (reference
+    # semantics, TsdfVolume.cpp:17-20); "brick" = persistent (NB, 512)
+    # brick-major rows (bit-equivalent storage; kills the per-frame
+    # dense<->brick transposes and the packed-tap rebuild — ~85 ms/frame
+    # measured on v5e, apps/probe_layout.py). "brick" requires
+    # fusion_mode="brick" and a brick-capable raycast_march.
+    volume_layout: str = "dense"
+
+    # resolution of the raycast model maps: model maps are rendered at
+    # pyramid level N (0 = full depth resolution, the reference behaviour;
+    # 1 = half). ICP level l then associates against model level l at the
+    # shifted intrinsics — 4x fewer raycast/refine gathers at N=1, within
+    # the tracking-accuracy envelope (tests/test_bricks.py)
+    model_map_level: int = 0
+
     # fusion strategy: "dense" = per-voxel depth sampling (reference
     # semantics); "brick" = conservative brick culling (bit-equivalent,
     # depth gathers bounded by fusion_brick_cap * 512)

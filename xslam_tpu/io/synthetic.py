@@ -149,11 +149,118 @@ def orbit_trajectory(
     return poses
 
 
+def handheld_trajectory(
+    n_frames: int,
+    seed: int = 7,
+    room: Box | None = None,
+    mean_speed_m_s: float = 0.25,
+    fps: float = 30.0,
+) -> List[np.ndarray]:
+    """Handheld-sensor-like trajectory with ICL-NUIM-matched dynamics.
+
+    The real ICL-NUIM living-room trajectories (Handa et al. 2014; the
+    reference's canonical run is 300 frames of ``livingRoom1n.gt.sim``,
+    ``configs/ICL_traj2.yaml:2-7``) are smooth handheld sweeps: ~0.1-0.5 m/s
+    translation at 30 Hz (3-15 mm/frame), rotation bursts up to ~1-2
+    deg/frame, low jerk, with the camera panning across the room rather
+    than orbiting a fixed target. This generator reproduces those
+    statistics with band-limited (low-frequency Fourier) position and
+    look-target paths, so tracking sees realistic accelerations, direction
+    reversals and rotation/translation coupling — unlike the gentle
+    constant-rate orbit used for smoke tests.
+    """
+    rng = np.random.default_rng(seed)
+    room = room or Box(np.array([-2.2, -1.2, -2.2]), np.array([2.2, 1.2, 2.2]))
+    t = np.arange(n_frames, dtype=np.float64)
+
+    def band_limited_path(center, amplitude, n_components=4, min_period=150.0):
+        """Sum of random low-frequency sinusoids per axis."""
+        out = np.tile(center, (n_frames, 1)).astype(np.float64)
+        for axis in range(3):
+            for _ in range(n_components):
+                period = min_period * (1.0 + 3.0 * rng.random())
+                phase = 2 * np.pi * rng.random()
+                amp = amplitude[axis] * (0.3 + 0.7 * rng.random()) / n_components * 2.0
+                out[:, axis] += amp * np.sin(2 * np.pi * t / period + phase)
+        return out
+
+    centre = 0.5 * (room.lo + room.hi)
+    half = 0.5 * (room.hi - room.lo)
+    pos = band_limited_path(centre + np.array([0.0, -0.1, 0.0]), half * 0.55)
+    target = band_limited_path(
+        centre + np.array([0.0, 0.1, 0.0]), half * 0.9, min_period=200.0
+    )
+
+    # rescale position speed to the requested mean translation speed
+    deltas = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    scale = (mean_speed_m_s / fps) / max(deltas.mean(), 1e-9)
+    pos = pos[0:1] + (pos - pos[0:1]) * scale
+
+    poses = []
+    for i in range(n_frames):
+        z = target[i] - pos[i]
+        nz = np.linalg.norm(z)
+        if nz < 0.3:  # keep the look target at arm's length
+            z = np.array([0.0, 0.0, 1.0])
+            nz = 1.0
+        z = z / nz
+        up = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up, z)
+        x /= max(np.linalg.norm(x), 1e-9)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos[i]
+        poses.append(c2w)
+    return poses
+
+
+def cluttered_scene() -> Scene:
+    """A denser living-room-like scene (more geometry for ICP conditioning,
+    closer to ICL-NUIM's furnished room than the 4-object smoke scene)."""
+    return Scene(
+        room=Box(np.array([-3.0, -2.0, -3.0]), np.array([3.0, 2.0, 3.0])),
+        spheres=[
+            Sphere(np.array([0.6, 0.4, 1.2]), 0.5),
+            Sphere(np.array([-1.2, -0.6, 0.3]), 0.35),
+            Sphere(np.array([1.8, 1.2, -1.4]), 0.45),
+            Sphere(np.array([-0.3, -1.0, -1.8]), 0.3),
+        ],
+        boxes=[
+            Box(np.array([-0.4, 1.0, -1.1]), np.array([0.9, 2.0, 0.1])),  # sofa
+            Box(np.array([-2.4, -0.2, 1.0]), np.array([-1.6, 2.0, 1.8])),  # shelf
+            Box(np.array([1.2, 0.8, 0.8]), np.array([2.6, 2.0, 2.2])),  # table
+            Box(np.array([-2.9, -2.0, -2.2]), np.array([-2.2, -0.4, -1.4])),  # cabinet
+            Box(np.array([0.3, 1.4, -2.9]), np.array([1.7, 2.0, -2.3])),  # bench
+        ],
+    )
+
+
+def apply_sensor_model(
+    depth_mm: np.ndarray, rng: np.random.Generator, noise_sigma_frac: float
+) -> np.ndarray:
+    """Kinect-like depth degradation: quadratic-with-distance Gaussian noise
+    (sigma = noise_sigma_frac * z^2 metres, the standard Kinect axial noise
+    model) on top of the mm quantization the uint16 format already applies."""
+    if noise_sigma_frac <= 0:
+        return depth_mm
+    d = depth_mm.astype(np.float64) / 1000.0
+    sigma = noise_sigma_frac * d * d
+    noisy = d + rng.standard_normal(d.shape) * sigma
+    noisy_mm = np.clip(noisy * 1000.0, 0, 65535)
+    noisy_mm[depth_mm == 0] = 0
+    return noisy_mm.astype(np.uint16)
+
+
 class SyntheticDataset:
     """Dataset-protocol wrapper: ``get_depth(i) -> uint16 mm``, ``get_pose(i)``.
 
     Drop-in replacement for the file-based loaders in
     :mod:`xslam_tpu.io.dataset` (reference ``Dataset.h:18-81``).
+
+    ``trajectory``: "orbit" (gentle constant-rate smoke-test sweep) or
+    "handheld" (ICL-NUIM-matched dynamics, see :func:`handheld_trajectory`).
+    ``depth_noise``: Kinect axial-noise fraction (0 = clean renders; ICL's
+    noisy variant corresponds to roughly 0.0012-0.002).
     """
 
     def __init__(
@@ -162,12 +269,21 @@ class SyntheticDataset:
         intr: Intrinsics | None = None,
         scene: Scene | None = None,
         degrees_per_frame: float = 0.6,
+        trajectory: str = "orbit",
+        depth_noise: float = 0.0,
+        seed: int = 7,
     ):
         from ..geometry.intrinsics import ICL_INTRINSICS
 
         self.intr = intr or ICL_INTRINSICS
-        self.scene = scene or default_scene()
-        self.poses = orbit_trajectory(n_frames, degrees_per_frame=degrees_per_frame)
+        if trajectory == "handheld":
+            self.scene = scene or cluttered_scene()
+            self.poses = handheld_trajectory(n_frames, seed=seed)
+        else:
+            self.scene = scene or default_scene()
+            self.poses = orbit_trajectory(n_frames, degrees_per_frame=degrees_per_frame)
+        self.depth_noise = depth_noise
+        self._noise_rng = np.random.default_rng(seed + 1)
         self._cache: dict[int, np.ndarray] = {}
 
     def __len__(self):
@@ -175,8 +291,19 @@ class SyntheticDataset:
 
     def get_depth(self, i: int) -> np.ndarray:
         if i not in self._cache:
-            self._cache[i] = render_depth(self.scene, self.poses[i], self.intr)
+            d = render_depth(self.scene, self.poses[i], self.intr)
+            if self.depth_noise > 0:
+                # per-frame deterministic noise (seeded by frame index)
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([int(self._seed_base), i])
+                )
+                d = apply_sensor_model(d, rng, self.depth_noise)
+            self._cache[i] = d
         return self._cache[i]
+
+    @property
+    def _seed_base(self):
+        return 12345
 
     def get_pose(self, i: int) -> np.ndarray:
         return self.poses[i]

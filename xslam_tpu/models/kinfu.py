@@ -66,6 +66,8 @@ class XSlamEngine:
             trunc_dist=config.trunc_dist,
             max_weight=config.max_integration_weight,
         )
+        if config.volume_layout == "brick" and config.fusion_mode != "brick":
+            raise ValueError("volume_layout='brick' requires fusion_mode='brick'")
         self.world2volume = np.asarray(config.world2volume, np.float32)
         self.pose_log: List[np.ndarray] = []  # world2camera_record analogue
         self._step = jax.jit(
@@ -81,13 +83,19 @@ class XSlamEngine:
 
     def init_state(self) -> SlamState:
         H, W = self.intr.height, self.intr.width
-        vol = fusion.create_volume(self.vol_cfg)
+        if self.config.volume_layout == "brick":
+            from ..ops import bricks
+
+            vol = bricks.create(self.vol_cfg)
+        else:
+            vol = fusion.create_volume(self.vol_cfg)
         nan_map = lambda h, w: CSFD(
             jnp.full((3, h, w), jnp.nan, jnp.float32), jnp.zeros((3, h, w), jnp.float32)
         )
         levels = self.config.num_levels
-        vmaps = tuple(nan_map(H >> i, W >> i) for i in range(levels))
-        nmaps = tuple(nan_map(H >> i, W >> i) for i in range(levels))
+        L = self.config.model_map_level
+        vmaps = tuple(nan_map(H >> (i + L), W >> (i + L)) for i in range(levels))
+        nmaps = tuple(nan_map(H >> (i + L), W >> (i + L)) for i in range(levels))
         return SlamState(
             volume=vol,
             world2camera=lift(jnp.eye(4, dtype=jnp.float32)),
@@ -112,6 +120,16 @@ class XSlamEngine:
 
     def log_pose(self, result: FrameResult):
         self.pose_log.append(np.asarray(result.camera2world.v))
+
+    def dense_volume(self, state: SlamState) -> fusion.VolumeState:
+        """The volume in dense (X, Y, Z) layout regardless of the engine's
+        storage layout — for extraction, export, and relocalization
+        consumers that take ``VolumeState``."""
+        if self.config.volume_layout == "brick":
+            from ..ops import bricks
+
+            return bricks.to_dense(state.volume, self.vol_cfg.resolution)
+        return state.volume
 
     def export_model_maps_ply(self, state: SlamState, path: str, level: int = 0):
         """Dump the raycast model maps of ``level`` as a point cloud —
@@ -161,6 +179,11 @@ def _pose_estimate(
     ok = jnp.bool_(True)
     inliers = jnp.int32(0)
 
+    # the model maps may be rendered one or more pyramid levels coarser
+    # than the depth (model_map_level): the projective association then
+    # targets the model map's own intrinsics
+    L = config.model_map_level
+
     # per-level lax.scan over iterations (identical body per level) keeps the
     # HLO ~12x smaller than unrolling the reference's {5,4,3} loop
     for level in reversed(range(config.num_levels)):
@@ -168,7 +191,7 @@ def _pose_estimate(
         if config.icp_fixed_assoc:
             level_assoc = icp.associate(
                 r_curr, t_curr, vmaps_curr[level], r_prev_inv, t_prev,
-                intr.level(level), state.vmaps_prev[level], state.nmaps_prev[level],
+                intr.level(level + L), state.vmaps_prev[level], state.nmaps_prev[level],
             )
         else:
             level_assoc = None
@@ -178,7 +201,7 @@ def _pose_estimate(
             system = icp.build_system(
                 r_curr, t_curr,
                 vmaps_curr[level], nmaps_curr[level],
-                r_prev_inv, t_prev, intr.level(level),
+                r_prev_inv, t_prev, intr.level(level + L),
                 state.vmaps_prev[level], state.nmaps_prev[level],
                 config.dist_thres, config.angle_thres_sine,
                 assoc=level_assoc,
@@ -274,7 +297,34 @@ def process_frame(
     depth_m = fusion.scale_depth(depth_u16)
     do_integrate = align_ok | is_first
 
-    if config.fusion_mode == "brick":
+    if config.volume_layout == "brick":
+        from ..ops import bricks as bricks_mod
+        from ..ops import fusion_brick
+
+        NB = bricks_mod.brick_grid(vol_cfg.resolution)
+        NB = NB[0] * NB[1] * NB[2]
+
+        def integrate_fn(vol):
+            out, overflow = fusion_brick.integrate_rows(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                bi_threshold=config.bi_interpolate_threshold,
+                cap=config.fusion_brick_cap,
+            )
+            if config.fusion_overflow == "dense":
+                # overflow recovery without leaving the brick layout: rerun
+                # with cap = every brick (exactly the dense update)
+                out = jax.lax.cond(
+                    overflow,
+                    lambda v: fusion_brick.integrate_rows(
+                        v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                        bi_threshold=config.bi_interpolate_threshold, cap=NB,
+                    )[0],
+                    lambda v: out,
+                    vol,
+                )
+                overflow = jnp.bool_(False)
+            return out, overflow
+    elif config.fusion_mode == "brick":
         from ..ops import fusion_brick
 
         def integrate_fn(vol):
@@ -317,13 +367,29 @@ def process_frame(
     r_c2v, t_c2v = se3.rotation(c2v), se3.translation(c2v)
     v2w = se3.inverse(w2v)
     r_v2w, t_v2w = se3.rotation(v2w), se3.translation(v2w)
-    vmap0, nmap0 = raycast.raycast(
-        volume, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg,
-        normals_mode=config.raycast_normals,
-        march_mode=config.raycast_march,
-        hier_window=config.raycast_hier_window,
-        packed_taps=config.raycast_packed_taps,
-    )
+    model_intr = intr.level(config.model_map_level)
+    if config.volume_layout == "brick":
+        from ..ops import raycast_bricks
+
+        # fixed/skip are event-identical -> "skip"; the hier modes map to
+        # the skip-anchored hierarchical march
+        brick_march = (
+            "skip" if config.raycast_march in ("fixed", "skip") else "hier_skip"
+        )
+        vmap0, nmap0 = raycast_bricks.raycast_bricks(
+            volume, r_c2v, t_c2v, r_v2w, t_v2w, model_intr, vol_cfg,
+            normals_mode=config.raycast_normals,
+            march_mode=brick_march,
+            hier_window=config.raycast_hier_window,
+        )
+    else:
+        vmap0, nmap0 = raycast.raycast(
+            volume, r_c2v, t_c2v, r_v2w, t_v2w, model_intr, vol_cfg,
+            normals_mode=config.raycast_normals,
+            march_mode=config.raycast_march,
+            hier_window=config.raycast_hier_window,
+            packed_taps=config.raycast_packed_taps,
+        )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]
     for i in range(1, levels):

@@ -297,27 +297,67 @@ def integrate_brick(
     dense path (the default engine asserts this does not happen on the
     canonical workloads)."""
     res = vol.value.shape
+    cls = classify_bricks(
+        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
+    ).reshape(-1)
+    vb, gb, wb, overflow = _integrate_rows_core(
+        to_bricks(vol.value), to_bricks(vol.grad), to_bricks(vol.weight),
+        cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
+    )
+    out = VolumeState(
+        value=from_bricks(vb, res), grad=from_bricks(gb, res), weight=from_bricks(wb, res)
+    )
+    return out, overflow
+
+
+def integrate_rows(
+    bvol,
+    depth_m: jnp.ndarray,
+    r_v2c: CSFD,
+    t_v2c: CSFD,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    bi_threshold: float = 0.0,
+    cap: int = 8192,
+    x_offset: int = 0,
+):
+    """Brick-compacted fusion over a persistent brick-major volume
+    (:class:`xslam_tpu.ops.bricks.BrickVolume`): same math as
+    :func:`integrate_brick` with zero dense<->brick transposes (the round-1
+    layout paid ~50 ms/frame in them — apps/probe_layout.py). Returns
+    (BrickVolume, overflowed_flag)."""
+    from .bricks import BrickVolume
+
+    res = cfg.resolution
+    cls = classify_bricks(
+        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
+    ).reshape(-1)
+    vb, gb, wb, overflow = _integrate_rows_core(
+        bvol.value, bvol.grad, bvol.weight,
+        cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
+    )
+    return BrickVolume(value=vb, grad=gb, weight=wb), overflow
+
+
+def _integrate_rows_core(
+    vb, gb, wb, cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap,
+    x_offset, res,
+):
+    """Shared fusion core over brick-major rows: FAR pass (elementwise, no
+    gathers) + ACTIVE pass (compact, row-gather, exact update, row-scatter)."""
     X, Y, Z = res
     NB = (X // BRICK) * (Y // BRICK) * (Z // BRICK)
     vs = cfg.voxel_size
 
-    cls = classify_bricks(
-        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
-    ).reshape(-1)
-
     # ---- FAR pass: elementwise, no gathers --------------------------------
-    far_mask_b = (cls == 1).reshape(X // BRICK, Y // BRICK, Z // BRICK)
-    far_mask = jnp.repeat(
-        jnp.repeat(jnp.repeat(far_mask_b, BRICK, 0), BRICK, 1), BRICK, 2
-    )
-    w = vol.weight
-    w_new = jnp.minimum(w + 1.0, float(cfg.max_weight))
+    far_rows = (cls == 1)[:, None]
+    w_new = jnp.minimum(wb + 1.0, float(cfg.max_weight))
     # far branch: tsdf sample = (1, 0) (TsdfFusion.cu:154-155)
-    val_far = (vol.value * w + 1.0) / (w + 1.0)
-    grd_far = (vol.grad * w) / (w + 1.0)
-    value = jnp.where(far_mask, val_far, vol.value)
-    grad = jnp.where(far_mask, grd_far, vol.grad)
-    weight = jnp.where(far_mask, w_new, vol.weight)
+    val_far = (vb * wb + 1.0) / (wb + 1.0)
+    grd_far = (gb * wb) / (wb + 1.0)
+    vb = jnp.where(far_rows, val_far, vb)
+    gb = jnp.where(far_rows, grd_far, gb)
+    wb = jnp.where(far_rows, w_new, wb)
 
     # ---- ACTIVE pass: compact, gather rows, exact update, scatter ---------
     active = cls == 2
@@ -331,9 +371,6 @@ def integrate_brick(
     valid_row = ids < NB
     ids_c = jnp.minimum(ids, NB - 1)
 
-    vb = to_bricks(value)
-    gb = to_bricks(grad)
-    wb = to_bricks(weight)
     v_rows = jnp.take(vb, ids_c, axis=0)
     g_rows = jnp.take(gb, ids_c, axis=0)
     w_rows = jnp.take(wb, ids_c, axis=0)
@@ -362,8 +399,4 @@ def integrate_brick(
     vb = jnp.concatenate([vb, jnp.zeros((1, vb.shape[1]), vb.dtype)]).at[scatter_ids].set(v_new)[:NB]
     gb = jnp.concatenate([gb, jnp.zeros((1, gb.shape[1]), gb.dtype)]).at[scatter_ids].set(g_new)[:NB]
     wb = jnp.concatenate([wb, jnp.zeros((1, wb.shape[1]), wb.dtype)]).at[scatter_ids].set(w_new_rows)[:NB]
-
-    out = VolumeState(
-        value=from_bricks(vb, res), grad=from_bricks(gb, res), weight=from_bricks(wb, res)
-    )
-    return out, overflow
+    return vb, gb, wb, overflow

@@ -257,6 +257,8 @@ def march_skip(
     ray_start: CSFD,
     ray_dir: CSFD,
     cfg: VolumeConfig,
+    packed_read=None,
+    shape=None,
 ) -> RaycastHit:
     """Empty-space-skipping march (single-chip): identical event semantics to
     :func:`march` — in skip regions all TSDF values are non-negative, so the
@@ -264,19 +266,29 @@ def march_skip(
     a sentinel positive ``prev`` preserves the event conditions exactly.
     Dynamic trip count via ``lax.while_loop`` (the per-ray early-out the
     CUDA reference gets from its ``break``); one gather per step from the
-    jump-packed volume."""
-    X, Y, Z = value.shape
+    jump-packed volume.
+
+    ``packed_read``/``shape`` inject an alternative jump-packed volume
+    reader (g -> biased values) — used by the brick-major layout
+    (:mod:`xslam_tpu.ops.raycast_bricks`) so both layouts share these exact
+    event semantics."""
+    if packed_read is None:
+        X, Y, Z = value.shape
+        packed = skip_volume(value, weight)
+
+        def packed_read(g):
+            return gather3d(packed, g[0], g[1], g[2]) + 1e-5
+    else:
+        X, Y, Z = shape
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     brick_m = BRICK * voxel
-    packed = skip_volume(value, weight)
 
     start_v = ray_start.v[:, None, None]
     dirs_v = ray_dir.v
     H, W = dirs_v.shape[-2:]
 
-    def read_packed(g):
-        return gather3d(packed, g[0], g[1], g[2]) + 1e-5
+    read_packed = packed_read
 
     def in_global(g):
         return (
@@ -400,13 +412,20 @@ def _window_repair(
     coarse: RaycastHit,
     window: int,
     cfg: VolumeConfig,
+    read_fn=None,
+    shape=None,
 ) -> RaycastHit:
     """March each pixel of ``dirs_v`` (3, H, W) only inside a ``window``-step
     interval anchored at its 2x2 coarse-neighbourhood's earliest event.
     ``coarse`` is the hit map one pyramid level above ``dirs_v`` (2x
     subsampled relative to it — not necessarily half the *full* resolution:
-    ``march_hier2`` repairs quarter->half->full)."""
-    X, Y, Z = value.shape
+    ``march_hier2`` repairs quarter->half->full).
+
+    ``read_fn``/``shape`` inject an alternative value-volume reader (see
+    :func:`march_skip`)."""
+    if shape is None:
+        shape = value.shape
+    X, Y, Z = shape
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
     H, W = dirs_v.shape[-2:]
@@ -436,8 +455,12 @@ def _window_repair(
     def voxel_of(p):
         return jnp.floor(p / voxel).astype(jnp.int32)
 
-    def read_value(g):
-        return gather3d(value, g[0], g[1], g[2]) + 1e-5
+    if read_fn is None:
+
+        def read_fn(g):
+            return gather3d(value, g[0], g[1], g[2]) + 1e-5
+
+    read_value = read_fn
 
     def in_global(g):
         return (
@@ -488,6 +511,7 @@ def refine(
     spec: ShardSpec = ShardSpec(),
     normals_mode: str = "tsdf",
     packed_taps: bool = True,
+    trilin_fn=None,
 ) -> Tuple[CSFD, CSFD, jnp.ndarray, jnp.ndarray]:
     """Secant refinement + vertex/normal computation at ``hit_t`` for pixels
     where ``accept``. Returns (vmap_w, nmap_w, v_ok, n_ok) with zeros (not
@@ -515,7 +539,9 @@ def refine(
             vec3.comp(ray_start, 2) + vec3.comp(ray_dir, 2) * t,
         )
 
-    if packed_taps:
+    if trilin_fn is not None:
+        trilin_at = trilin_fn
+    elif packed_taps:
         packed = pack_vg_yz(vol.value, vol.grad)
 
         def trilin_at(p: CSFD) -> CSFD:

@@ -1,0 +1,163 @@
+"""Raycasting directly from the persistent brick-major volume.
+
+Composes the exact event/refinement semantics of :mod:`xslam_tpu.ops.raycast`
+(march step 0.8*trunc over [0.2, 5.0] m, secant refinement, RayCaster.cu:
+226-304) with brick-major readers (:mod:`xslam_tpu.ops.bricks`):
+
+* empty-space skipping costs one ``jnp.where`` over rows per frame (the
+  dense layout paid a voxel-level repeat + full rewrite),
+* there is no packed-tap table rebuild (~36 ms/frame at 256^3 on v5e —
+  apps/probe_layout.py): trilinear taps are plain scalar gathers from the
+  brick rows, bit-identical to the dense ``trilinear_tsdf_shard``.
+
+The default strategy is the hier_skip march: a full-length skip march at
+half the target resolution anchors a ``window``-step repair pass at the
+target resolution (same approximation class as ``raycast.march_hier``,
+gated downstream by the ICP validity tests).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..csfd import vec3
+from ..csfd.single import CSFD, lift
+from ..geometry.intrinsics import Intrinsics
+from . import bricks
+from .bricks import BrickVolume
+from .fusion import VolumeConfig
+from .raycast import (
+    INF_T,
+    RaycastHit,
+    _camera_rays,
+    _window_repair,
+    finalize_maps,
+    march_skip,
+    refine,
+    screen_normals,
+)
+
+BRICK_MARCH_MODES = ("skip", "hier_skip")
+
+
+def _value_reader(plane, res):
+    def read(g):
+        return bricks.gather(plane, res, g[0], g[1], g[2]) + 1e-5
+
+    return read
+
+
+def trilinear_bricks(
+    bvol: BrickVolume, res, px: CSFD, py: CSFD, pz: CSFD, voxel_size: float
+) -> CSFD:
+    """Dual trilinear TSDF interpolation from brick rows — bit-identical to
+    :func:`xslam_tpu.ops.raycast.trilinear_tsdf_shard` on the corresponding
+    dense volumes (same base-cell shift, RayCaster.cu:117-122; same +1e-5
+    bias, RayCaster.cu:77; same tap summation order)."""
+    X, Y, Z = res
+    inv_vs = 1.0 / voxel_size
+
+    gx = jnp.floor(px.v * inv_vs).astype(jnp.int32)
+    gy = jnp.floor(py.v * inv_vs).astype(jnp.int32)
+    gz = jnp.floor(pz.v * inv_vs).astype(jnp.int32)
+    ok = (
+        (gx > 0) & (gx < X - 1) & (gy > 0) & (gy < Y - 1) & (gz > 0) & (gz < Z - 1)
+    )
+
+    gx = gx - (px.v < (gx.astype(jnp.float32) + 0.5) * voxel_size)
+    gy = gy - (py.v < (gy.astype(jnp.float32) + 0.5) * voxel_size)
+    gz = gz - (pz.v < (gz.astype(jnp.float32) + 0.5) * voxel_size)
+
+    a0 = px * inv_vs - (gx.astype(jnp.float32) + 0.5)
+    b0 = py * inv_vs - (gy.astype(jnp.float32) + 0.5)
+    c0 = pz * inv_vs - (gz.astype(jnp.float32) + 0.5)
+    one = lift(1.0, like=a0)
+    a1, b1, c1 = one - a0, one - b0, one - c0
+
+    def tap(dx, dy, dz) -> CSFD:
+        ix, iy, iz = gx + dx, gy + dy, gz + dz
+        return CSFD(
+            bricks.gather(bvol.value, res, ix, iy, iz) + 1e-5,
+            bricks.gather(bvol.grad, res, ix, iy, iz),
+        )
+
+    out = (
+        tap(0, 0, 0) * (a1 * b1 * c1)
+        + tap(0, 0, 1) * (a1 * b1 * c0)
+        + tap(0, 1, 0) * (a1 * b0 * c1)
+        + tap(0, 1, 1) * (a1 * b0 * c0)
+        + tap(1, 0, 0) * (a0 * b1 * c1)
+        + tap(1, 0, 1) * (a0 * b1 * c0)
+        + tap(1, 1, 0) * (a0 * b0 * c1)
+        + tap(1, 1, 1) * (a0 * b0 * c0)
+    )
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok, out.v, nan), jnp.where(ok, out.g, 0.0))
+
+
+def raycast_bricks(
+    bvol: BrickVolume,
+    r_c2v: CSFD,
+    t_c2v: CSFD,
+    r_v2w: CSFD,
+    t_v2w: CSFD,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    normals_mode: str = "screen",
+    march_mode: str = "hier_skip",
+    hier_window: int = 12,
+) -> Tuple[CSFD, CSFD]:
+    """Raycast the model maps at ``intr``'s resolution from a brick-major
+    volume. ``march_mode``: "skip" = full-length skip march at target
+    resolution (identical events to the reference's fixed march);
+    "hier_skip" = skip march at half target resolution + ``hier_window``-step
+    repair (approximate, see raycast.march_hier)."""
+    if march_mode not in BRICK_MARCH_MODES:
+        raise ValueError(
+            f"unknown brick march_mode {march_mode!r}; expected one of {BRICK_MARCH_MODES}"
+        )
+    res = cfg.resolution
+    ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
+
+    packed = bricks.skip_rows(bvol, res)
+    packed_read = _value_reader(packed, res)
+
+    if march_mode == "skip":
+        hit = march_skip(
+            None, None, ray_start, ray_dir, cfg,
+            packed_read=packed_read, shape=res,
+        )
+    else:
+        coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
+        coarse = march_skip(
+            None, None, ray_start, coarse_dir, cfg,
+            packed_read=packed_read, shape=res,
+        )
+        hit = _window_repair(
+            None, ray_start, ray_dir.v, coarse, hier_window, cfg,
+            read_fn=_value_reader(bvol.value, res), shape=res,
+        )
+
+    accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
+
+    def trilin_at(p: CSFD) -> CSFD:
+        return trilinear_bricks(
+            bvol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+            cfg.voxel_size,
+        )
+
+    shape_only = jax.ShapeDtypeStruct(res, jnp.float32)
+    from .fusion import VolumeState
+
+    vmap, nmap, v_ok, n_ok = refine(
+        VolumeState(value=shape_only, grad=shape_only, weight=shape_only),
+        ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg,
+        normals_mode=normals_mode, trilin_fn=trilin_at,
+    )
+    vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
+    if normals_mode == "screen":
+        nmap = screen_normals(vmap)
+    return vmap, nmap

@@ -20,6 +20,17 @@ import os
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
 
+    # Only cache for the remote (axon/TPU) backend: CPU executables are
+    # AOT-compiled against exact machine features and XLA loads mismatched
+    # entries with a SIGILL warning (observed when a cache written under
+    # different flags was reused), and CPU compiles are fast anyway.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend not in ("axon", "tpu"):
+        return ""
+
     if cache_dir is None:
         cache_dir = os.environ.get("XSLAM_JAX_CACHE_DIR")
     if cache_dir is None:

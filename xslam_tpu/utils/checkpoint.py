@@ -51,12 +51,23 @@ def load_state(path: str) -> Tuple[SlamState, List[np.ndarray]]:
     nmaps = tuple(
         CSFD(jnp.asarray(z[f"nm{i}_v"]), jnp.asarray(z[f"nm{i}_g"])) for i in range(levels)
     )
-    state = SlamState(
-        volume=VolumeState(
+    # brick-major states store (NB, 512) rows; dense states (X, Y, Z)
+    if z["value"].ndim == 2:
+        from ..ops.bricks import BrickVolume
+
+        vol = BrickVolume(
             value=jnp.asarray(z["value"]),
             grad=jnp.asarray(z["grad"]),
             weight=jnp.asarray(z["weight"]),
-        ),
+        )
+    else:
+        vol = VolumeState(
+            value=jnp.asarray(z["value"]),
+            grad=jnp.asarray(z["grad"]),
+            weight=jnp.asarray(z["weight"]),
+        )
+    state = SlamState(
+        volume=vol,
         world2camera=CSFD(jnp.asarray(z["w2c_v"]), jnp.asarray(z["w2c_g"])),
         vmaps_prev=vmaps,
         nmaps_prev=nmaps,
