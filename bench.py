@@ -39,18 +39,18 @@ def main():
     # the fast verified configuration: persistent brick-major volume
     # (zero dense<->brick transposes), brick-compacted fusion
     # (bit-equivalent to dense; cap covers the measured ~3.7k ACTIVE bricks
-    # with margin), skip-anchored hierarchical march, half-resolution model
-    # maps, screen-space model normals, per-level fixed ICP correspondences
-    # (all within the tracking-accuracy envelope — tests/test_bricks.py,
-    # test_fast_paths.py, test_march_skip.py); the ATE of this exact run is
-    # reported alongside the FPS.
+    # with margin), event-exact empty-space-skipping march, half-resolution
+    # model maps, central-difference screen normals, per-level fixed ICP
+    # correspondences (all within the tracking-accuracy envelope —
+    # tests/test_bricks.py, test_fast_paths.py, test_march_skip.py); the
+    # ATE of this exact run is reported alongside the FPS.
     config = SlamConfig(
         end_frame=n_frames,
         volume_layout="brick",
         fusion_mode="brick",
         fusion_brick_cap=6144,
         raycast_normals="screen",
-        raycast_march="hier_skip",
+        raycast_march="skip",
         model_map_level=1,
         icp_fixed_assoc=True,
     )

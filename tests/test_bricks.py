@@ -163,7 +163,7 @@ def test_brick_engine_halfres_model_maps_ate():
     ds = small_dataset(n, degrees_per_frame=1.0)
     _, poses, _ = _run_engine(
         ds, n,
-        volume_layout="brick", fusion_mode="brick", raycast_march="hier_skip",
+        volume_layout="brick", fusion_mode="brick", raycast_march="skip",
         raycast_normals="screen", model_map_level=1, icp_fixed_assoc=True,
     )
     gt = normalize_to_first([ds.get_pose(i) for i in range(n)])
