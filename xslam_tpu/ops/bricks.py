@@ -101,14 +101,16 @@ def event_brick_mask(bvol: BrickVolume) -> jnp.ndarray:
     return jnp.any((bvol.value < 0.0) & (bvol.weight > 0.0), axis=1)
 
 
-def brick_distance_rows(bvol: BrickVolume, res) -> jnp.ndarray:
+def distance_from_event_mask(mask: jnp.ndarray, res) -> jnp.ndarray:
     """(NB,) int32 L-inf brick distance (capped at DIST_CAP) to the nearest
-    event-capable brick, dilated once so an event's *previous* sample is
-    also inside the zero-distance zone — identical semantics to
-    :func:`xslam_tpu.ops.raycast.brick_distance_field`, computed from rows
-    (one reduce over the rows + (NB^(1/3))^3 rolls; ~1 ms at 256^3)."""
+    event-capable brick given the (NB,) event mask, dilated once so an
+    event's *previous* sample is also inside the zero-distance zone —
+    identical semantics to :func:`xslam_tpu.ops.raycast.brick_distance_field`
+    (one reduce over the rows + (NB^(1/3))^3 rolls; ~1 ms at 256^3). Split
+    out from :func:`brick_distance_rows` so the sharded engine can all-gather
+    per-slab event masks (a few KB) instead of full weight rows."""
     nbx, nby, nbz = brick_grid(res)
-    m = event_brick_mask(bvol).reshape(nbx, nby, nbz)
+    m = mask.reshape(nbx, nby, nbz)
 
     def dilate(a):
         for ax in range(3):
@@ -124,11 +126,21 @@ def brick_distance_rows(bvol: BrickVolume, res) -> jnp.ndarray:
     return dist.reshape(-1)
 
 
+def brick_distance_rows(bvol: BrickVolume, res) -> jnp.ndarray:
+    """(NB,) brick distance computed from this volume's own event mask."""
+    return distance_from_event_mask(event_brick_mask(bvol), res)
+
+
+def pack_rows(value: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Jump-pack value rows given a precomputed (NB,) brick distance."""
+    d = dist.astype(jnp.float32)[:, None]
+    return jnp.where(d >= 2.0, JUMP_BASE + d, value)
+
+
 def skip_rows(bvol: BrickVolume, res) -> jnp.ndarray:
     """Jump-packed value rows: bricks at distance >= 2 store
     ``JUMP_BASE + dist`` in every lane (their true values can never be read
     by a correct march), others store the real values. One gather then
     serves both the skip decision and the sample — the brick-major twin of
     :func:`xslam_tpu.ops.raycast.skip_volume`, without the dense repeat."""
-    dist = brick_distance_rows(bvol, res).astype(jnp.float32)[:, None]
-    return jnp.where(dist >= 2.0, JUMP_BASE + dist, bvol.value)
+    return pack_rows(bvol.value, brick_distance_rows(bvol, res))

@@ -119,10 +119,37 @@ def raycast_bricks(
         raise ValueError(
             f"unknown brick march_mode {march_mode!r}; expected one of {BRICK_MARCH_MODES}"
         )
-    res = cfg.resolution
     ray_dir, ray_start = _camera_rays(r_c2v, t_c2v, intr)
+    return raycast_bricks_rays(
+        bvol, ray_start, ray_dir, r_v2w, t_v2w, cfg,
+        normals_mode=normals_mode, march_mode=march_mode,
+        hier_window=hier_window,
+    )
 
-    packed = bricks.skip_rows(bvol, res)
+
+def raycast_bricks_rays(
+    bvol: BrickVolume,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    r_v2w: CSFD,
+    t_v2w: CSFD,
+    cfg: VolumeConfig,
+    normals_mode: str = "screen",
+    march_mode: str = "skip",
+    hier_window: int = 12,
+    packed=None,
+    apply_screen: bool = True,
+) -> Tuple[CSFD, CSFD]:
+    """March + refine for an explicit ray bundle (``ray_dir`` may be any
+    column/row slice of a camera's rays — used by the pixel-sharded
+    multi-chip path, :mod:`xslam_tpu.parallel.sharded`). ``packed`` injects
+    precomputed jump-packed rows; ``apply_screen=False`` defers
+    screen-normal computation to the caller (the sharded path computes them
+    on the assembled map so column-boundary pixels see their neighbours)."""
+    res = cfg.resolution
+
+    if packed is None:
+        packed = bricks.skip_rows(bvol, res)
     packed_read = _value_reader(packed, res)
 
     if march_mode == "skip":
@@ -158,6 +185,6 @@ def raycast_bricks(
         normals_mode=normals_mode, trilin_fn=trilin_at,
     )
     vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
-    if normals_mode == "screen":
+    if normals_mode == "screen" and apply_screen:
         nmap = screen_normals(vmap)
     return vmap, nmap

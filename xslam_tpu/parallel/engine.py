@@ -21,7 +21,14 @@ from ..io.config import SlamConfig
 from ..models.kinfu import FrameResult, SlamState, _resize_nmap_dual
 from ..ops import fusion, icp, preprocess, raycast
 from .mesh import make_space_mesh, replicated, volume_sharding
-from .sharded import sharded_icp_system, sharded_integrate, sharded_raycast
+from .sharded import (
+    sharded_associate,
+    sharded_icp_system,
+    sharded_integrate,
+    sharded_integrate_rows,
+    sharded_raycast,
+    sharded_raycast_bricks,
+)
 
 
 class ShardedXSlamEngine:
@@ -35,9 +42,17 @@ class ShardedXSlamEngine:
             trunc_dist=config.trunc_dist,
             max_weight=config.max_integration_weight,
         )
-        assert config.tsdf_size[0] % self.mesh.devices.size == 0, (
-            "volume X must divide the mesh"
-        )
+        n = self.mesh.devices.size
+        assert config.tsdf_size[0] % n == 0, "volume X must divide the mesh"
+        if config.volume_layout == "brick":
+            if config.fusion_mode != "brick":
+                raise ValueError("volume_layout='brick' requires fusion_mode='brick'")
+            assert (config.tsdf_size[0] // n) % 8 == 0, (
+                "brick layout needs X-slabs aligned to 8-voxel bricks"
+            )
+            assert (self.intr.width >> config.model_map_level) % n == 0, (
+                "model-map width must divide the mesh (pixel-sharded raycast)"
+            )
         self.world2volume = np.asarray(config.world2volume, np.float32)
         self.pose_log = []
         self._step = jax.jit(
@@ -54,24 +69,37 @@ class ShardedXSlamEngine:
 
     def init_state(self) -> SlamState:
         H, W = self.intr.height, self.intr.width
-        vs = volume_sharding(self.mesh)
         rep = replicated(self.mesh)
         shape = self.vol_cfg.resolution
-        vol = fusion.VolumeState(
-            value=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
-            grad=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
-            weight=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
-        )
+        if self.config.volume_layout == "brick":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..ops import bricks
+            from .mesh import SPACE_AXIS
+
+            rows = NamedSharding(self.mesh, P(SPACE_AXIS, None))
+            z = bricks.create(self.vol_cfg)
+            vol = bricks.BrickVolume(
+                *(jax.device_put(x, rows) for x in z)
+            )
+        else:
+            vs = volume_sharding(self.mesh)
+            vol = fusion.VolumeState(
+                value=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+                grad=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+                weight=jax.device_put(jnp.zeros(shape, jnp.float32), vs),
+            )
         nan_map = lambda h, w: CSFD(
             jax.device_put(jnp.full((3, h, w), jnp.nan, jnp.float32), rep),
             jax.device_put(jnp.zeros((3, h, w), jnp.float32), rep),
         )
         levels = self.config.num_levels
+        L = self.config.model_map_level
         return SlamState(
             volume=vol,
             world2camera=lift(jnp.eye(4, dtype=jnp.float32)),
-            vmaps_prev=tuple(nan_map(H >> i, W >> i) for i in range(levels)),
-            nmaps_prev=tuple(nan_map(H >> i, W >> i) for i in range(levels)),
+            vmaps_prev=tuple(nan_map(H >> (i + L), W >> (i + L)) for i in range(levels)),
+            nmaps_prev=tuple(nan_map(H >> (i + L), W >> (i + L)) for i in range(levels)),
             frame_idx=jnp.int32(0),
             last_align_ok=jnp.bool_(True),
         )
@@ -95,18 +123,29 @@ def _pose_estimate_sharded(state, vmaps_curr, nmaps_curr, config, intr, mesh):
     ok = jnp.bool_(True)
     inliers = jnp.int32(0)
 
-    for level in reversed(range(config.num_levels)):
-        # (icp_fixed_assoc is handled inside build_system on the single-chip
-        # path; the sharded path re-associates every iteration — association
-        # gathers are already split across the mesh)
+    # model maps may be rendered coarser than the depth (model_map_level):
+    # association then targets the model map's own intrinsics — same as the
+    # single-chip fast path
+    L = config.model_map_level
 
-        def body(carry, _, level=level):
+    for level in reversed(range(config.num_levels)):
+        if config.icp_fixed_assoc:
+            level_assoc = sharded_associate(
+                r_curr, t_curr, vmaps_curr[level], r_prev_inv, t_prev,
+                intr.level(level + L),
+                state.vmaps_prev[level], state.nmaps_prev[level], mesh,
+            )
+        else:
+            level_assoc = None
+
+        def body(carry, _, level=level, level_assoc=level_assoc):
             r_curr, t_curr, ok = carry
             system = sharded_icp_system(
                 r_curr, t_curr, vmaps_curr[level], nmaps_curr[level],
-                r_prev_inv, t_prev, intr.level(level),
+                r_prev_inv, t_prev, intr.level(level + L),
                 state.vmaps_prev[level], state.nmaps_prev[level],
                 config.dist_thres, config.angle_thres_sine, mesh,
+                assoc=level_assoc,
             )
             x, step_ok = icp.solve_increment(system, damping=config.icp_damping)
             inc = se3.euler_xyz_increment(*[CSFD(x.v[i], x.g[i]) for i in range(6)])

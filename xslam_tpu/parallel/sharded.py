@@ -158,14 +158,18 @@ def sharded_raycast(vol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh,
 
 def sharded_icp_system(
     r_curr, t_curr, vmap_curr, nmap_curr, r_prev_inv, t_prev, intr,
-    vmap_g_prev, nmap_g_prev, dist_thres, angle_thres, mesh,
+    vmap_g_prev, nmap_g_prev, dist_thres, angle_thres, mesh, assoc=None,
 ):
-    """Row-sharded correspondence search + psum'd 6x7 reduction."""
+    """Row-sharded correspondence search + psum'd 6x7 reduction. ``assoc``
+    (from :func:`sharded_associate`, column-sharded) skips the per-iteration
+    projection+gather — the ``icp_fixed_assoc`` fast path."""
 
-    def stage(vmap_c, nmap_c, vprev, nprev, r_curr, t_curr, r_prev_inv, t_prev):
+    def stage(vmap_c, nmap_c, vprev, nprev, r_curr, t_curr, r_prev_inv, t_prev,
+              *maybe_assoc):
         sys_local = icp.build_system(
             r_curr, t_curr, vmap_c, nmap_c, r_prev_inv, t_prev, intr,
             vprev, nprev, dist_thres, angle_thres,
+            assoc=maybe_assoc[0] if maybe_assoc else None,
         )
         psum = lambda x: jax.lax.psum(x, SPACE_AXIS)
         return icp.IcpSystem(
@@ -183,10 +187,164 @@ def sharded_icp_system(
     cols = P(None, None, SPACE_AXIS)
     dual_cols = CSFD(cols, cols)
     dual = CSFD(P(), P())
+    in_specs = [cols, cols, dual, dual, dual, dual, dual, dual]
+    args = [vmap_curr, nmap_curr, vmap_g_prev, nmap_g_prev, r_curr, t_curr,
+            r_prev_inv, t_prev]
+    if assoc is not None:
+        in_specs.append(icp.Association(
+            nprev_g=dual_cols, vprev_g=dual_cols, in_img=P(None, SPACE_AXIS)
+        ))
+        args.append(assoc)
     return _shard_map(
         stage,
         mesh=mesh,
-        in_specs=(cols, cols, dual, dual, dual, dual, dual, dual),
+        in_specs=tuple(in_specs),
         out_specs=icp.IcpSystem(A=dual, b=dual, inlier_count=P()),
         check_vma=False,
-    )(vmap_curr, nmap_curr, vmap_g_prev, nmap_g_prev, r_curr, t_curr, r_prev_inv, t_prev)
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Brick-major fast path ("gather" strategy — pixel-sharded raycast)
+#
+# The slab-ownership raycast above replicates the march work on every shard
+# (each shard samples every pixel and claims only its core's events) — it
+# scales MEMORY, not march time. The brick-major fast path instead shards the
+# *pixels*: brick rows stay slab-sharded for fusion (scatter-local), the
+# raycaster all-gathers the value/grad rows once per frame (2 x NB x 512 x 4 B
+# — ~134 MB at 256^3, a few ms over ICI) plus a few-KB event-brick mask, and
+# each chip marches/refines only its own column block with bit-identical
+# single-chip semantics. March, refinement, and ICP gathers — the measured
+# bottleneck (BASELINE.md) — then genuinely scale 1/N per chip.
+
+
+def _brick_row_specs():
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.bricks import BrickVolume
+
+    rows = P(SPACE_AXIS, None)
+    return BrickVolume(value=rows, grad=rows, weight=rows)
+
+
+def sharded_integrate_rows(
+    bvol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
+    brick_cap: int = 2048,
+):
+    """Per-slab brick fusion over a row-sharded BrickVolume (rows are
+    bx-major, so a contiguous row range is an X-slab). Communication: the
+    psum'd overflow flag only. ``brick_cap`` is the per-shard ACTIVE cap."""
+    import dataclasses
+
+    from ..ops import fusion_brick
+
+    n = mesh.shape[SPACE_AXIS]
+    X, Y, Z = vol_cfg.resolution
+    local_x = X // n
+    local_cfg = dataclasses.replace(vol_cfg, resolution=(local_x, Y, Z))
+
+    def stage(vol, depth_m, r_v2c, t_v2c):
+        idx = jax.lax.axis_index(SPACE_AXIS)
+        out, overflow = fusion_brick.integrate_rows(
+            vol, depth_m, r_v2c, t_v2c, intr, local_cfg,
+            bi_threshold=bi_threshold, cap=brick_cap,
+            x_offset=idx * local_x,
+        )
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), SPACE_AXIS) > 0
+        return out, overflow
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = _brick_row_specs()
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(spec, P(), CSFD(P(), P()), CSFD(P(), P())),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )(bvol, depth_m, r_v2c, t_v2c)
+
+
+def sharded_raycast_bricks(
+    bvol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh,
+    normals_mode: str = "screen", march_mode: str = "skip",
+    hier_window: int = 12,
+):
+    """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
+    a per-chip column block. ``march_mode="skip"`` is bit-identical to the
+    single-chip skip march per pixel; "hier_skip" differs only at column-block
+    edges (the coarse 2x2 anchor neighbourhood is clipped there — same
+    approximation class, gated downstream like all hier modes). For
+    ``normals_mode="screen"`` the caller derives normals from the assembled
+    vertex map (column-boundary pixels need their neighbours)."""
+    from ..ops import bricks
+    from ..ops.bricks import BrickVolume
+    from ..ops.raycast_bricks import raycast_bricks_rays
+
+    n = mesh.shape[SPACE_AXIS]
+    res = vol_cfg.resolution
+
+    def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w):
+        idx = jax.lax.axis_index(SPACE_AXIS)
+        ev = jax.lax.all_gather(
+            bricks.event_brick_mask(vol), SPACE_AXIS, tiled=True
+        )
+        dist = bricks.distance_from_event_mask(ev, res)
+        value = jax.lax.all_gather(vol.value, SPACE_AXIS, tiled=True)
+        grad = jax.lax.all_gather(vol.grad, SPACE_AXIS, tiled=True)
+        # weight is only consulted by skip_rows (bypassed: packed injected)
+        full = BrickVolume(value=value, grad=grad, weight=value)
+        packed = bricks.pack_rows(value, dist)
+
+        ray_dir, ray_start = raycast._camera_rays(r_c2v, t_c2v, intr)
+        wl = ray_dir.v.shape[-1] // n
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * wl, wl, axis=-1)
+        ray_dir = CSFD(sl(ray_dir.v), sl(ray_dir.g))
+        return raycast_bricks_rays(
+            full, ray_start, ray_dir, r_v2w, t_v2w, vol_cfg,
+            normals_mode=normals_mode, march_mode=march_mode,
+            hier_window=hier_window, packed=packed, apply_screen=False,
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = _brick_row_specs()
+    dual = CSFD(P(), P())
+    cols = CSFD(P(None, None, SPACE_AXIS), P(None, None, SPACE_AXIS))
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(spec, dual, dual, dual, dual),
+        out_specs=(cols, cols),
+        check_vma=False,
+    )(bvol, r_c2v, t_c2v, r_v2w, t_v2w)
+
+
+def sharded_associate(
+    r_curr, t_curr, vmap_curr, r_prev_inv, t_prev, intr,
+    vmap_g_prev, nmap_g_prev, mesh,
+):
+    """Column-sharded projective association (the gather-heavy half of an
+    ICP iteration) — computed once per level under ``icp_fixed_assoc`` and
+    reused across the level's iterations, like the single-chip fast path."""
+
+    def stage(vmap_c, vprev, nprev, r_curr, t_curr, r_prev_inv, t_prev):
+        return icp.associate(
+            r_curr, t_curr, vmap_c, r_prev_inv, t_prev, intr, vprev, nprev
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    cols = P(None, None, SPACE_AXIS)
+    dual_cols = CSFD(cols, cols)
+    dual = CSFD(P(), P())
+    out = icp.Association(
+        nprev_g=dual_cols, vprev_g=dual_cols, in_img=P(None, SPACE_AXIS)
+    )
+    return _shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(cols, dual, dual, dual, dual, dual, dual),
+        out_specs=out,
+        check_vma=False,
+    )(vmap_curr, vmap_g_prev, nmap_g_prev, r_curr, t_curr, r_prev_inv, t_prev)
