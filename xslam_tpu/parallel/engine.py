@@ -208,25 +208,78 @@ def _process_frame_sharded(
 
     depth_m = fusion.scale_depth(depth_u16)
     do_integrate = align_ok | is_first
+    n = mesh.devices.size
+    r_v2c, t_v2c = se3.rotation(v2c), se3.translation(v2c)
 
-    def integrate_fn(vol):
-        return sharded_integrate(
-            vol, depth_m, se3.rotation(v2c), se3.translation(v2c), intr, vol_cfg,
-            config.bi_interpolate_threshold, mesh,
-            fusion_mode=config.fusion_mode,
-            brick_cap=max(256, config.fusion_brick_cap // mesh.devices.size),
-        )
+    if config.volume_layout == "brick":
+        X, Y, Z = vol_cfg.resolution
+        nb_local = (X // n // 8) * (Y // 8) * (Z // 8)
+        cap = min(nb_local, max(256, config.fusion_brick_cap // n))
+
+        def integrate_fn(vol):
+            out, overflow = sharded_integrate_rows(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                config.bi_interpolate_threshold, mesh, brick_cap=cap,
+            )
+            if config.fusion_overflow == "dense":
+                # overflow recovery without leaving the brick layout: rerun
+                # with cap = every local brick (exactly the dense update) —
+                # same policy as the single-chip engine (models/kinfu.py)
+                out = jax.lax.cond(
+                    overflow,
+                    lambda v: sharded_integrate_rows(
+                        v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                        config.bi_interpolate_threshold, mesh,
+                        brick_cap=nb_local,
+                    )[0],
+                    lambda v: out,
+                    vol,
+                )
+                overflow = jnp.bool_(False)
+            return out, overflow
+
+    else:
+
+        def integrate_fn(vol):
+            return sharded_integrate(
+                vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
+                config.bi_interpolate_threshold, mesh,
+                fusion_mode=config.fusion_mode,
+                brick_cap=max(256, config.fusion_brick_cap // n),
+            )
 
     volume, fusion_overflow = jax.lax.cond(
         do_integrate, integrate_fn, lambda v: (v, jnp.bool_(False)), state.volume
     )
 
     v2w = se3.inverse(w2v)
-    vmap0, nmap0 = sharded_raycast(
-        volume, se3.rotation(c2v), se3.translation(c2v),
-        se3.rotation(v2w), se3.translation(v2w), intr, vol_cfg, mesh,
-        normals_mode=config.raycast_normals,
-    )
+    # model maps may be rendered coarser than the depth (model_map_level):
+    # raycast at the model map's own intrinsics, like the single-chip engine
+    model_intr = intr.level(config.model_map_level)
+    if config.volume_layout == "brick":
+        # fixed/skip are event-identical -> "skip"; the hier modes map to the
+        # skip-anchored hierarchical march (same mapping as models/kinfu.py)
+        brick_march = (
+            "skip" if config.raycast_march in ("fixed", "skip") else "hier_skip"
+        )
+        vmap0, nmap0 = sharded_raycast_bricks(
+            volume, se3.rotation(c2v), se3.translation(c2v),
+            se3.rotation(v2w), se3.translation(v2w), model_intr, vol_cfg, mesh,
+            normals_mode=config.raycast_normals,
+            march_mode=brick_march,
+            hier_window=config.raycast_hier_window,
+        )
+        if config.raycast_normals == "screen":
+            # the pixel-sharded stage defers screen normals (column-boundary
+            # pixels need their neighbours); derive them from the assembled
+            # vertex map here — GSPMD inserts the one-column halo exchange
+            nmap0 = raycast.screen_normals(vmap0)
+    else:
+        vmap0, nmap0 = sharded_raycast(
+            volume, se3.rotation(c2v), se3.translation(c2v),
+            se3.rotation(v2w), se3.translation(v2w), model_intr, vol_cfg, mesh,
+            normals_mode=config.raycast_normals,
+        )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]
     for i in range(1, levels):
