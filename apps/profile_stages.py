@@ -1,9 +1,9 @@
 """Per-stage TPU timing of the SLAM frame pipeline (fast verified config).
 
 Times each stage of ``process_frame`` (models/kinfu.py) as its own jit, in
-the round-2 bench configuration: persistent brick-major volume, brick
-fusion, skip-anchored hierarchical march at half-resolution model maps,
-screen normals, fixed-association ICP. Volume state is produced by running
+the bench configuration: persistent brick-major volume, brick fusion,
+event-exact skip march at half-resolution model maps, screen normals,
+fixed-association ICP. Volume state is produced by running
 the fusion stage itself over a few synthetic frames with ground-truth poses
 (no full-pipeline compile needed).
 
@@ -68,7 +68,7 @@ def main():
 
     config = SlamConfig(
         volume_layout="brick", fusion_mode="brick", fusion_brick_cap=6144,
-        raycast_normals="screen", raycast_march="hier_skip",
+        raycast_normals="screen", raycast_march="skip",
         model_map_level=1, icp_fixed_assoc=True,
     )
     intr = config.intrinsics
@@ -126,20 +126,12 @@ def main():
         return bricks.skip_rows(vol, res)
 
     @jax.jit
-    def coarse_march_stage(packed, ray_start, ray_dir):
-        coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
+    def skip_march_stage(packed, ray_start, ray_dir):
+        # the bench march: event-exact skip march at full model resolution
         read = raycast_bricks._value_reader(packed, res)
         return raycast.march_skip(
-            None, None, ray_start, coarse_dir, vol_cfg,
+            None, None, ray_start, ray_dir, vol_cfg,
             packed_read=read, shape=res,
-        )
-
-    @jax.jit
-    def repair_stage(value_rows, ray_start, ray_dir, coarse):
-        read = raycast_bricks._value_reader(value_rows, res)
-        return raycast._window_repair(
-            None, ray_start, ray_dir.v, coarse, config.raycast_hier_window,
-            vol_cfg, read_fn=read, shape=res,
         )
 
     v2w = np.linalg.inv(w2v_np).astype(np.float32)
@@ -240,11 +232,8 @@ def main():
     t, packed = lap(skip_pack, vol, reps=reps)
     results["skip_rows_build"] = t
 
-    t, coarse = lap(coarse_march_stage, packed, ray_start, ray_dir, reps=reps)
-    results["coarse_skip_march"] = t
-
-    t, hit = lap(repair_stage, vol.value, ray_start, ray_dir, coarse, reps=reps)
-    results["window_repair"] = t
+    t, hit = lap(skip_march_stage, packed, ray_start, ray_dir, reps=reps)
+    results["skip_march"] = t
 
     t, maps = lap(refine_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead, reps=reps)
     results["refine+normals+resize"] = t

@@ -106,22 +106,43 @@ def test_raycast_bricks_equals_dense_raycast():
         se3.rotation(v2w), se3.translation(v2w),
     )
     for normals in ("screen", "tsdf"):
-        vm_d, nm_d = jax.jit(
-            lambda vol, a, b, c, d, normals=normals: raycast.raycast(
-                vol, a, b, c, d, SMALL_INTR, vol_cfg,
-                normals_mode=normals, march_mode="skip", packed_taps=False,
-            )
-        )(dense, *args)
-        vm_b, nm_b = jax.jit(
-            lambda vol, a, b, c, d, normals=normals: raycast_bricks.raycast_bricks(
-                vol, a, b, c, d, SMALL_INTR, vol_cfg,
-                normals_mode=normals, march_mode="skip",
-            )
-        )(brick, *args)
-        np.testing.assert_array_equal(np.asarray(vm_d.v), np.asarray(vm_b.v))
-        np.testing.assert_array_equal(np.asarray(vm_d.g), np.asarray(vm_b.g))
-        np.testing.assert_array_equal(np.asarray(nm_d.v), np.asarray(nm_b.v))
-        np.testing.assert_array_equal(np.asarray(nm_d.g), np.asarray(nm_b.g))
+        for packed_taps in (False, True):
+            vm_d, nm_d = jax.jit(
+                lambda vol, a, b, c, d, normals=normals: raycast.raycast(
+                    vol, a, b, c, d, SMALL_INTR, vol_cfg,
+                    normals_mode=normals, march_mode="skip", packed_taps=False,
+                )
+            )(dense, *args)
+            vm_b, nm_b = jax.jit(
+                lambda vol, a, b, c, d, normals=normals, pt=packed_taps:
+                raycast_bricks.raycast_bricks(
+                    vol, a, b, c, d, SMALL_INTR, vol_cfg,
+                    normals_mode=normals, march_mode="skip", packed_taps=pt,
+                )
+            )(brick, *args)
+            if normals == "tsdf" and packed_taps:
+                # the packed reader is bit-identical op-by-op (see
+                # test_trilinear_packed_bricks_bit_identical) but the big
+                # tsdf-normal jit makes XLA pick different fma contractions
+                # for the one-hot-dot formulation: 1-ulp noise in the
+                # vertices, ~1e-11 in the normal lanes
+                np.testing.assert_allclose(
+                    np.asarray(vm_d.v), np.asarray(vm_b.v), atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    np.asarray(vm_d.g), np.asarray(vm_b.g), atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    np.asarray(nm_d.v), np.asarray(nm_b.v), atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    np.asarray(nm_d.g), np.asarray(nm_b.g), atol=1e-6
+                )
+            else:
+                np.testing.assert_array_equal(np.asarray(vm_d.v), np.asarray(vm_b.v))
+                np.testing.assert_array_equal(np.asarray(vm_d.g), np.asarray(vm_b.g))
+                np.testing.assert_array_equal(np.asarray(nm_d.v), np.asarray(nm_b.v))
+                np.testing.assert_array_equal(np.asarray(nm_d.g), np.asarray(nm_b.g))
 
 
 def _run_engine(ds, n, **over):
@@ -156,7 +177,15 @@ def test_brick_engine_matches_dense_engine():
 
 def test_brick_engine_halfres_model_maps_ate():
     """model_map_level=1 (half-res raycast model maps) must stay inside the
-    tracking-accuracy envelope on the small workload."""
+    tracking-accuracy envelope on the small workload.
+
+    num_levels=2 here, NOT the default 3: model_map_level shifts the whole
+    ICP pyramid down one level, so 3 levels on 160x120 input leave a 20x15-px
+    coarsest alignment — measured to be noise-dominated (a 1e-5 fma
+    difference in the fused volume flips ATE 0.02 <-> 0.22, with the FIXED
+    reference march too, i.e. independent of any fast path). The coarsest
+    level must keep enough pixels; the 640x480 bench keeps 80x60 at
+    num_levels=3 + model_map_level=1 and is unaffected."""
     from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
 
     n = 8
@@ -165,6 +194,7 @@ def test_brick_engine_halfres_model_maps_ate():
         ds, n,
         volume_layout="brick", fusion_mode="brick", raycast_march="skip",
         raycast_normals="screen", model_map_level=1, icp_fixed_assoc=True,
+        num_levels=2,
     )
     gt = normalize_to_first([ds.get_pose(i) for i in range(n)])
     est = normalize_to_first(poses)
@@ -172,3 +202,124 @@ def test_brick_engine_halfres_model_maps_ate():
     # envelope: the full-res dense run achieves ~0.02 m at this scale
     # (voxels are 12 cm here); half-res model maps must stay comparable
     assert ate < 0.05, f"ATE {ate} out of envelope"
+
+
+def test_trilinear_packed_bricks_bit_identical():
+    """pack_vg_z9 + trilinear_packed_bricks (4 row gathers) must reproduce
+    trilinear_bricks (16 scalar gathers) BIT-FOR-BIT at random dual points,
+    including points straddling brick boundaries in every axis."""
+    _, vol_cfg, _, _, _, brick = _fused_states(2)
+    res = vol_cfg.resolution
+    rng = np.random.default_rng(3)
+    n = 4096
+    extent = np.asarray(res, np.float32) * vol_cfg.voxel_size
+    # cover the full volume incl. edges/outside (the not-ok branch) and
+    # cluster extra points tightly around brick boundaries (multiples of
+    # 8 * voxel) where the z9 augmentation lane is exercised
+    pts = rng.uniform(-0.05, 1.05, size=(n, 3)).astype(np.float32) * extent
+    k = n // 4
+    bvox = rng.integers(1, np.asarray(res) // 8, size=(k, 3)) * 8
+    pts[:k] = (bvox + rng.uniform(-0.26, 0.26, size=(k, 3))) * vol_cfg.voxel_size
+    g = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+
+    px = CSFD(jnp.asarray(pts[:, 0]), jnp.asarray(g[:, 0]))
+    py = CSFD(jnp.asarray(pts[:, 1]), jnp.asarray(g[:, 1]))
+    pz = CSFD(jnp.asarray(pts[:, 2]), jnp.asarray(g[:, 2]))
+
+    ref = jax.jit(
+        lambda px, py, pz: raycast_bricks.trilinear_bricks(
+            brick, res, px, py, pz, vol_cfg.voxel_size
+        )
+    )(px, py, pz)
+    table = bricks.pack_vg_z9(brick, res)
+    fast = jax.jit(
+        lambda t, px, py, pz: raycast_bricks.trilinear_packed_bricks(
+            t, res, px, py, pz, vol_cfg.voxel_size
+        )
+    )(table, px, py, pz)
+
+    np.testing.assert_array_equal(np.asarray(ref.v), np.asarray(fast.v))
+    np.testing.assert_array_equal(np.asarray(ref.g), np.asarray(fast.g))
+
+
+def test_raycast_bricks_packed_taps_bit_identical():
+    """The full brick raycast with packed_taps on/off must emit identical
+    model maps (the packed table only reroutes the refinement gathers)."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(3)
+    pose = jnp.asarray(ds.get_pose(2), jnp.float32)
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(pose))
+    v2w = lift(jnp.asarray(np.linalg.inv(w2v), jnp.float32))
+    intr1 = SMALL_INTR.level(1)
+    args = (
+        brick, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm_ref, nm_ref = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=False,
+        )
+    )(*args)
+    vm_fast, nm_fast = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=True,
+        )
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(vm_ref.v), np.asarray(vm_fast.v))
+    np.testing.assert_array_equal(np.asarray(vm_ref.g), np.asarray(vm_fast.g))
+    np.testing.assert_array_equal(np.asarray(nm_ref.v), np.asarray(nm_fast.v))
+    np.testing.assert_array_equal(np.asarray(nm_ref.g), np.asarray(nm_fast.g))
+
+
+def test_skip_gran4_events_identical():
+    """The 4^3 sub-brick skip field must produce IDENTICAL march events
+    (t_found, t_dead) and model maps to the 8^3 brick field — empty-space
+    skipping never changes events, only how fast free space is crossed."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(3)
+    res = vol_cfg.resolution
+    c2v = se3.matmul(
+        lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(2), jnp.float32))
+    )
+    ray_dir, ray_start = raycast._camera_rays(
+        se3.rotation(c2v), se3.translation(c2v), SMALL_INTR
+    )
+
+    def march_with(gran):
+        packed = (
+            bricks.skip_rows(brick, res) if gran == 8
+            else bricks.skip_rows4(brick, res)
+        )
+        read = raycast_bricks._value_reader(packed, res)
+        return raycast.march_skip(
+            None, None, ray_start, ray_dir, vol_cfg,
+            packed_read=read, shape=res, jump_unit=gran,
+        )
+
+    h8 = jax.jit(lambda: march_with(8))()
+    h4 = jax.jit(lambda: march_with(4))()
+    np.testing.assert_array_equal(np.asarray(h8.t_found), np.asarray(h4.t_found))
+    np.testing.assert_array_equal(np.asarray(h8.t_dead), np.asarray(h4.t_dead))
+
+    # and through the full raycast (bench path): identical maps
+    v2w = se3.inverse(lift(jnp.asarray(w2v)))
+    args = (
+        brick, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm8, nm8 = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, SMALL_INTR, vol_cfg, normals_mode="screen",
+            march_mode="skip", skip_gran=8,
+        )
+    )(*args)
+    vm4, nm4 = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, SMALL_INTR, vol_cfg, normals_mode="screen",
+            march_mode="skip", skip_gran=4,
+        )
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(vm8.v), np.asarray(vm4.v))
+    np.testing.assert_array_equal(np.asarray(vm8.g), np.asarray(vm4.g))
+    np.testing.assert_array_equal(np.asarray(nm8.v), np.asarray(nm4.v))
+    np.testing.assert_array_equal(np.asarray(nm8.g), np.asarray(nm4.g))

@@ -71,6 +71,11 @@ class SlamConfig:
     # repair-window length (march steps) for the hier modes (the finest
     # level in "hier2"; its mid level uses march_hier's default of 12)
     raycast_hier_window: int = 12
+    # skip-field cell edge (voxels) for the brick-layout skip march: 8 =
+    # per-brick distances; 4 = 4^3 sub-brick distances — the fine-step band
+    # around surfaces halves with IDENTICAL events (ops/bricks.py, event-
+    # exactness argument above skip_rows4; equivalence-tested)
+    raycast_skip_gran: int = 8
     # fetch refinement trilinear taps from a packed row table (fewer gather
     # issues; costs an 8-float-per-voxel transient — disable for volumes
     # where 4x the value+grad footprint doesn't fit HBM)

@@ -381,6 +381,8 @@ def process_frame(
             normals_mode=config.raycast_normals,
             march_mode=brick_march,
             hier_window=config.raycast_hier_window,
+            packed_taps=config.raycast_packed_taps,
+            skip_gran=config.raycast_skip_gran,
         )
     else:
         vmap0, nmap0 = raycast.raycast(

@@ -260,6 +260,7 @@ def march_skip(
     packed_read=None,
     shape=None,
     own_fn=None,
+    jump_unit: int = BRICK,
 ) -> RaycastHit:
     """Empty-space-skipping march (single-chip): identical event semantics to
     :func:`march` — in skip regions all TSDF values are non-negative, so the
@@ -274,7 +275,16 @@ def march_skip(
     (:mod:`xslam_tpu.ops.raycast_bricks`) so both layouts share these exact
     event semantics. ``own_fn`` (g -> bool) restricts claimed sign events to
     voxels owned by this shard (exit-deaths stay global — every shard
-    agrees on them); see :mod:`xslam_tpu.parallel.sharded`."""
+    agrees on them); see :mod:`xslam_tpu.parallel.sharded`. ``jump_unit``
+    (voxels) is the cell edge the packed distances were computed at (8 =
+    brick, 4 = sub-brick, ops/bricks.py::skip_rows4).
+
+    The march tracks an INTEGER step counter and quantizes jumps DOWN to
+    whole steps, so every evaluated sample lands exactly on the fixed
+    march's grid ``t = RAY_MIN + k*step`` — events are bit-identical to
+    :func:`march` (an un-quantized metric jump would de-phase the sample
+    grid after the first jump and shift crossing times by sub-step
+    amounts)."""
     if packed_read is None:
         X, Y, Z = value.shape
         packed = skip_volume(value, weight)
@@ -285,7 +295,10 @@ def march_skip(
         X, Y, Z = shape
     voxel = cfg.voxel_size
     step = cfg.trunc_dist * 0.8
-    brick_m = BRICK * voxel
+    # steps skipped per unit of packed distance: floor keeps every landing
+    # on-grid and strictly inside the safe (d-1)-cell L-inf bound
+    steps_per_cell = jump_unit * voxel / step
+    n_steps = int((RAY_MAX_M - RAY_MIN_M) / step) + 1  # march()'s sample set
 
     start_v = ray_start.v[:, None, None]
     dirs_v = ray_dir.v
@@ -307,16 +320,17 @@ def march_skip(
     prev0 = jnp.minimum(read_packed(g0c), 1.0)  # packed cells read as free space
 
     inf = jnp.full((H, W), INF_T, jnp.float32)
-    t0 = jnp.full((H, W), RAY_MIN_M, jnp.float32)
+    k0 = jnp.zeros((H, W), jnp.int32)
     done0 = jnp.zeros((H, W), bool)
 
     def cond(carry):
-        t, prev, t_found, t_dead, done = carry
+        k, prev, t_found, t_dead, done = carry
         return jnp.any(~done)
 
     def body(carry):
-        t, prev, t_found, t_dead, done = carry
-        t_next = t + step
+        k, prev, t_found, t_dead, done = carry
+        kf = k.astype(jnp.float32)
+        t_next = RAY_MIN_M + (kf + 1.0) * step  # march()'s exact grid
         p = start_v + dirs_v * t_next
         g = jnp.floor(p / voxel).astype(jnp.int32)
         inside = in_global(g)
@@ -333,17 +347,20 @@ def march_skip(
         death = fine & (~inside | (own & (prev < 0.0) & (tsdf > 0.0) & inside))
         crossing = fine & inside & own & (prev > 0.0) & (tsdf < 0.0)
 
-        t_found = jnp.where(crossing, t, t_found)
-        t_dead = jnp.where(death, t, t_dead)
-        done = done | crossing | death | (t_next >= RAY_MAX_M)
+        t_curr = RAY_MIN_M + kf * step
+        t_found = jnp.where(crossing, t_curr, t_found)
+        t_dead = jnp.where(death, t_curr, t_dead)
+        done = done | crossing | death | (k + 1 >= n_steps)
 
-        jump = jnp.maximum(step, (d - 1.0) * brick_m)
-        t_new = jnp.where(can_jump, t + jump, t_next)
+        n_jump = jnp.maximum(
+            1, jnp.floor((d - 1.0) * steps_per_cell).astype(jnp.int32)
+        )
+        k_new = jnp.where(can_jump, k + n_jump, k + 1)
         prev_new = jnp.where(can_jump, 1.0, tsdf)
-        return (t_new, prev_new, t_found, t_dead, done)
+        return (k_new, prev_new, t_found, t_dead, done)
 
     _, _, t_found, t_dead, _ = jax.lax.while_loop(
-        cond, body, (t0, prev0, inf, inf, done0)
+        cond, body, (k0, prev0, inf, inf, done0)
     )
     return RaycastHit(t_found=t_found, t_dead=t_dead)
 

@@ -98,6 +98,78 @@ def trilinear_bricks(
     return CSFD(jnp.where(ok, out.v, nan), jnp.where(ok, out.g, 0.0))
 
 
+def trilinear_packed_bricks(
+    table: jnp.ndarray, res, px: CSFD, py: CSFD, pz: CSFD, voxel_size: float
+) -> CSFD:
+    """Dual trilinear TSDF interpolation from a :func:`pack_vg_z9` row table:
+    4 row gathers (one per (x, y) cell corner; each row carries the full
+    (z, z+1) tap pair of both planes) instead of the 16 scalar gathers of
+    :func:`trilinear_bricks` — bit-identical to it (tap values extracted with
+    exact one-hot dots; same base-cell shift RayCaster.cu:117-122, same
+    +1e-5 bias RayCaster.cu:77, same tap summation order)."""
+    X, Y, Z = res
+    inv_vs = 1.0 / voxel_size
+
+    gx = jnp.floor(px.v * inv_vs).astype(jnp.int32)
+    gy = jnp.floor(py.v * inv_vs).astype(jnp.int32)
+    gz = jnp.floor(pz.v * inv_vs).astype(jnp.int32)
+    ok = (
+        (gx > 0) & (gx < X - 1) & (gy > 0) & (gy < Y - 1) & (gz > 0) & (gz < Z - 1)
+    )
+
+    gx = gx - (px.v < (gx.astype(jnp.float32) + 0.5) * voxel_size)
+    gy = gy - (py.v < (gy.astype(jnp.float32) + 0.5) * voxel_size)
+    gz = gz - (pz.v < (gz.astype(jnp.float32) + 0.5) * voxel_size)
+
+    a0 = px * inv_vs - (gx.astype(jnp.float32) + 0.5)
+    b0 = py * inv_vs - (gy.astype(jnp.float32) + 0.5)
+    c0 = pz * inv_vs - (gz.astype(jnp.float32) + 0.5)
+    one = lift(1.0, like=a0)
+    a1, b1, c1 = one - a0, one - b0, one - c0
+
+    gzc = jnp.clip(gz, 0, Z - 1)
+    zidx = gzc & 7
+
+    def fetch(ix, iy):
+        row = bricks.flat_index(
+            res, jnp.clip(ix, 0, X - 1), jnp.clip(iy, 0, Y - 1), gzc
+        ) >> 3
+        return jnp.take(table, row.reshape(-1), axis=0, mode="clip").reshape(
+            *jnp.shape(gx), 18
+        )
+
+    r00 = fetch(gx, gy)
+    r01 = fetch(gx, gy + 1)
+    r10 = fetch(gx + 1, gy)
+    r11 = fetch(gx + 1, gy + 1)
+
+    # exact tap extraction: one-hot dot over the 9 z-lanes (adding exact
+    # zeros preserves the gathered value bit-for-bit)
+    lanes = jnp.arange(9, dtype=jnp.int32)
+    oh0 = (lanes == zidx[..., None]).astype(jnp.float32)
+    oh1 = (lanes == (zidx + 1)[..., None]).astype(jnp.float32)
+
+    def tap(r, dz) -> CSFD:
+        oh = oh0 if dz == 0 else oh1
+        return CSFD(
+            jnp.sum(r[..., :9] * oh, axis=-1) + 1e-5,
+            jnp.sum(r[..., 9:] * oh, axis=-1),
+        )
+
+    out = (
+        tap(r00, 0) * (a1 * b1 * c1)
+        + tap(r00, 1) * (a1 * b1 * c0)
+        + tap(r01, 0) * (a1 * b0 * c1)
+        + tap(r01, 1) * (a1 * b0 * c0)
+        + tap(r10, 0) * (a0 * b1 * c1)
+        + tap(r10, 1) * (a0 * b1 * c0)
+        + tap(r11, 0) * (a0 * b0 * c1)
+        + tap(r11, 1) * (a0 * b0 * c0)
+    )
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok, out.v, nan), jnp.where(ok, out.g, 0.0))
+
+
 def raycast_bricks(
     bvol: BrickVolume,
     r_c2v: CSFD,
@@ -109,12 +181,16 @@ def raycast_bricks(
     normals_mode: str = "screen",
     march_mode: str = "hier_skip",
     hier_window: int = 12,
+    packed_taps: bool = True,
+    skip_gran: int = 8,
 ) -> Tuple[CSFD, CSFD]:
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
     resolution (identical events to the reference's fixed march);
     "hier_skip" = skip march at half target resolution + ``hier_window``-step
-    repair (approximate, see raycast.march_hier)."""
+    repair (approximate, see raycast.march_hier). ``packed_taps``: refine
+    through a :func:`pack_vg_z9` row table (4 row gathers per dual trilinear
+    instead of 16 scalar gathers, bit-identical)."""
     if march_mode not in BRICK_MARCH_MODES:
         raise ValueError(
             f"unknown brick march_mode {march_mode!r}; expected one of {BRICK_MARCH_MODES}"
@@ -123,7 +199,8 @@ def raycast_bricks(
     return raycast_bricks_rays(
         bvol, ray_start, ray_dir, r_v2w, t_v2w, cfg,
         normals_mode=normals_mode, march_mode=march_mode,
-        hier_window=hier_window,
+        hier_window=hier_window, packed_taps=packed_taps,
+        skip_gran=skip_gran,
     )
 
 
@@ -139,29 +216,40 @@ def raycast_bricks_rays(
     hier_window: int = 12,
     packed=None,
     apply_screen: bool = True,
+    packed_taps: bool = True,
+    skip_gran: int = 8,
 ) -> Tuple[CSFD, CSFD]:
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
     multi-chip path, :mod:`xslam_tpu.parallel.sharded`). ``packed`` injects
     precomputed jump-packed rows; ``apply_screen=False`` defers
     screen-normal computation to the caller (the sharded path computes them
-    on the assembled map so column-boundary pixels see their neighbours)."""
+    on the assembled map so column-boundary pixels see their neighbours);
+    ``packed_taps`` routes refinement trilinears through the
+    :func:`pack_vg_z9` row table (bit-identical, 4x fewer gather issues);
+    ``skip_gran`` (8 or 4 voxels) is the skip-field cell edge — 4 halves the
+    fine-step band around surfaces with identical events (bricks.py)."""
     res = cfg.resolution
 
+    if skip_gran not in (4, 8):
+        raise ValueError(f"skip_gran must be 4 or 8, got {skip_gran}")
     if packed is None:
-        packed = bricks.skip_rows(bvol, res)
+        packed = (
+            bricks.skip_rows(bvol, res) if skip_gran == 8
+            else bricks.skip_rows4(bvol, res)
+        )
     packed_read = _value_reader(packed, res)
 
     if march_mode == "skip":
         hit = march_skip(
             None, None, ray_start, ray_dir, cfg,
-            packed_read=packed_read, shape=res,
+            packed_read=packed_read, shape=res, jump_unit=skip_gran,
         )
     else:
         coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
         coarse = march_skip(
             None, None, ray_start, coarse_dir, cfg,
-            packed_read=packed_read, shape=res,
+            packed_read=packed_read, shape=res, jump_unit=skip_gran,
         )
         hit = _window_repair(
             None, ray_start, ray_dir.v, coarse, hier_window, cfg,
@@ -170,11 +258,21 @@ def raycast_bricks_rays(
 
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
 
-    def trilin_at(p: CSFD) -> CSFD:
-        return trilinear_bricks(
-            bvol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
-            cfg.voxel_size,
-        )
+    if packed_taps:
+        table = bricks.pack_vg_z9(bvol, res)
+
+        def trilin_at(p: CSFD) -> CSFD:
+            return trilinear_packed_bricks(
+                table, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+                cfg.voxel_size,
+            )
+    else:
+
+        def trilin_at(p: CSFD) -> CSFD:
+            return trilinear_bricks(
+                bvol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+                cfg.voxel_size,
+            )
 
     shape_only = jax.ShapeDtypeStruct(res, jnp.float32)
     from .fusion import VolumeState

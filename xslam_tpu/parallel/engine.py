@@ -268,6 +268,8 @@ def _process_frame_sharded(
             normals_mode=config.raycast_normals,
             march_mode=brick_march,
             hier_window=config.raycast_hier_window,
+            packed_taps=config.raycast_packed_taps,
+            skip_gran=config.raycast_skip_gran,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary

@@ -268,7 +268,7 @@ def sharded_integrate_rows(
 def sharded_raycast_bricks(
     bvol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh,
     normals_mode: str = "screen", march_mode: str = "skip",
-    hier_window: int = 12,
+    hier_window: int = 12, packed_taps: bool = True, skip_gran: int = 8,
 ):
     """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
     a per-chip column block. ``march_mode="skip"`` is bit-identical to the
@@ -286,15 +286,25 @@ def sharded_raycast_bricks(
 
     def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w):
         idx = jax.lax.axis_index(SPACE_AXIS)
-        ev = jax.lax.all_gather(
-            bricks.event_brick_mask(vol), SPACE_AXIS, tiled=True
-        )
-        dist = bricks.distance_from_event_mask(ev, res)
         value = jax.lax.all_gather(vol.value, SPACE_AXIS, tiled=True)
         grad = jax.lax.all_gather(vol.grad, SPACE_AXIS, tiled=True)
-        # weight is only consulted by skip_rows (bypassed: packed injected)
+        # weight is only consulted by the skip-row builders (bypassed:
+        # packed injected)
         full = BrickVolume(value=value, grad=grad, weight=value)
-        packed = bricks.pack_rows(value, dist)
+        if skip_gran == 8:
+            ev = jax.lax.all_gather(
+                bricks.event_brick_mask(vol), SPACE_AXIS, tiled=True
+            )
+            dist = bricks.distance_from_event_mask(ev, res)
+            packed = bricks.pack_rows(value, dist)
+        else:
+            # the 4^3 sub-brick mask grid is bx-major in axis 0 like the
+            # rows, so tiled all-gather of per-slab grids assembles it
+            local_res = (vol.value.shape[0] * 512 // (res[1] * res[2]), res[1], res[2])
+            ev4 = jax.lax.all_gather(
+                bricks.event_mask4(vol, local_res), SPACE_AXIS, tiled=True
+            )
+            packed = bricks.pack_rows4(value, bricks.distance_grid(ev4), res)
 
         ray_dir, ray_start = raycast._camera_rays(r_c2v, t_c2v, intr)
         wl = ray_dir.v.shape[-1] // n
@@ -304,6 +314,7 @@ def sharded_raycast_bricks(
             full, ray_start, ray_dir, r_v2w, t_v2w, vol_cfg,
             normals_mode=normals_mode, march_mode=march_mode,
             hier_window=hier_window, packed=packed, apply_screen=False,
+            packed_taps=packed_taps, skip_gran=skip_gran,
         )
 
     from jax.sharding import PartitionSpec as P
