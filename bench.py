@@ -54,6 +54,15 @@ def main():
         model_map_level=1,
         icp_fixed_assoc=True,
     )
+    # experimental knob overrides (perf A/B runs): XSLAM_BENCH_OVERRIDES as
+    # JSON, e.g. '{"raycast_packed_taps": false}' — the canonical bench is
+    # the default config above
+    import os
+
+    overrides = os.environ.get("XSLAM_BENCH_OVERRIDES")
+    if overrides:
+        for k, v in json.loads(overrides).items():
+            setattr(config, k, v)
     ds = SyntheticDataset(n_frames=n_frames, degrees_per_frame=0.4)
     engine = XSlamEngine(config)
     state = engine.init_state()

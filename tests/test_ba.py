@@ -166,3 +166,145 @@ def test_schur_ba_sharded_matches(ba_problem):
     np.testing.assert_allclose(
         np.asarray(sharded.anchors), np.asarray(ref.anchors), atol=1e-4
     )
+
+
+def test_schur_ba_cg_matches_dense(ba_problem):
+    """Matrix-free CG BA must converge to the dense Schur solution on the
+    toy problem (same GN trajectory up to CG solve tolerance)."""
+    gt_poses, gt_T, anchors, problem = ba_problem
+    rng = np.random.default_rng(2)
+    K, L = gt_poses.shape[0], anchors.shape[0]
+
+    noisy_poses = gt_poses + np.concatenate(
+        [0.05 * rng.normal(size=(K, 3)), 0.02 * rng.normal(size=(K, 3))], axis=1
+    ).astype(np.float32)
+    noisy_poses[0] = gt_poses[0]
+    noisy_anchors = anchors + 0.05 * rng.normal(size=(L, 3)).astype(np.float32)
+
+    from xslam_tpu.models.ba import schur_ba_cg
+
+    ref = jax.jit(lambda p, a: schur_ba(p, a, problem, iters=10))(
+        jnp.asarray(noisy_poses), jnp.asarray(noisy_anchors)
+    )
+    out = jax.jit(lambda p, a: schur_ba_cg(p, a, problem, iters=10))(
+        jnp.asarray(noisy_poses), jnp.asarray(noisy_anchors)
+    )
+    assert np.asarray(out.residual_history)[-1] < 1e-6
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.anchors), np.asarray(ref.anchors), atol=1e-4
+    )
+
+
+def test_schur_ba_cg_large_scale():
+    """60 keyframes x 6000 anchors x 24k observations — the scale where the
+    dense schur_ba's Hcl (K,L,6,3) blocks and (K,L)-indexed einsums are
+    unusable. The matrix-free path must recover ground truth."""
+    from xslam_tpu.models.ba import schur_ba_cg
+
+    rng = np.random.default_rng(7)
+    K, L = 60, 6000
+    poses = []
+    for k in range(K):
+        ang = 0.05 * k
+        poses.append(
+            np.array(
+                [2.0 * np.cos(ang), 0.02 * k, 2.0 * np.sin(ang), 0.0, ang, 0.0],
+                np.float32,
+            )
+        )
+    gt_poses = np.stack(poses)
+    gt_T = np.stack([np.asarray(se3.exp_real(jnp.asarray(x))) for x in gt_poses])
+    anchors = rng.uniform(-1.5, 1.5, size=(L, 3)).astype(np.float32)
+    anchors[:, 2] += 4.0
+    obs_k = rng.integers(0, K, size=(L, 4))  # each anchor seen by 4 keyframes
+    fi = obs_k.reshape(-1)
+    ai = np.repeat(np.arange(L), 4)
+    w2c = np.linalg.inv(gt_T)
+    meas = np.einsum("nij,nj->ni", w2c[fi, :3, :3], anchors[ai]) + w2c[fi, :3, 3]
+    problem = BAProblem(
+        frame_idx=jnp.asarray(fi, jnp.int32),
+        anchor_idx=jnp.asarray(ai, jnp.int32),
+        meas_cam=jnp.asarray(meas, jnp.float32),
+    )
+
+    noisy_p = gt_poses + np.concatenate(
+        [0.03 * rng.normal(size=(K, 3)), 0.01 * rng.normal(size=(K, 3))], axis=1
+    ).astype(np.float32)
+    noisy_p[0] = gt_poses[0]
+    noisy_a = anchors + 0.03 * rng.normal(size=(L, 3)).astype(np.float32)
+
+    out = jax.jit(lambda p, a: schur_ba_cg(p, a, problem, iters=8, cg_iters=40))(
+        jnp.asarray(noisy_p), jnp.asarray(noisy_a)
+    )
+    assert np.asarray(out.residual_history)[-1] < 1e-6
+    for k in range(0, K, 7):
+        rel_est = np.linalg.inv(np.asarray(se3.exp_real(out.poses[0]))) @ np.asarray(
+            se3.exp_real(out.poses[k])
+        )
+        rel_gt = np.linalg.inv(gt_T[0]) @ gt_T[k]
+        np.testing.assert_allclose(rel_est, rel_gt, atol=1e-4)
+
+
+def test_schur_ba_cg_sharded_matches(ba_problem):
+    """Observation-sharded CG BA under shard_map: the (L,3) and (K,6) psums
+    inside the matvec must reproduce the single-device result."""
+    from xslam_tpu.models.ba import schur_ba_cg
+
+    gt_poses, gt_T, anchors, problem = ba_problem
+    rng = np.random.default_rng(2)
+    K, L = gt_poses.shape[0], anchors.shape[0]
+
+    noisy_poses = gt_poses + np.concatenate(
+        [0.05 * rng.normal(size=(K, 3)), 0.02 * rng.normal(size=(K, 3))], axis=1
+    ).astype(np.float32)
+    noisy_poses[0] = gt_poses[0]
+    noisy_anchors = anchors + 0.05 * rng.normal(size=(L, 3)).astype(np.float32)
+
+    N = problem.frame_idx.shape[0]
+    n_dev = 8
+    pad = (-N) % n_dev
+    problem_p = BAProblem(
+        frame_idx=jnp.concatenate([problem.frame_idx, jnp.zeros(pad, jnp.int32)]),
+        anchor_idx=jnp.concatenate([problem.anchor_idx, jnp.zeros(pad, jnp.int32)]),
+        meas_cam=jnp.concatenate(
+            [problem.meas_cam, jnp.tile(problem.meas_cam[:1], (pad, 1))]
+        ),
+    )
+    from xslam_tpu.parallel.mesh import SPACE_AXIS, make_space_mesh
+
+    try:
+        from jax import shard_map as sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_space_mesh(n_dev)
+
+    ref = jax.jit(lambda p, a: schur_ba_cg(p, a, problem_p, iters=6))(
+        jnp.asarray(noisy_poses), jnp.asarray(noisy_anchors)
+    )
+
+    def stage(p, a, fi, ai, mc):
+        prob = BAProblem(frame_idx=fi, anchor_idx=ai, meas_cam=mc)
+        return schur_ba_cg(p, a, prob, iters=6, axis_name=SPACE_AXIS)
+
+    sharded = jax.jit(
+        sm(
+            stage,
+            mesh=mesh,
+            in_specs=(P(), P(), P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS, None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(
+        jnp.asarray(noisy_poses), jnp.asarray(noisy_anchors),
+        problem_p.frame_idx, problem_p.anchor_idx, problem_p.meas_cam,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.poses), np.asarray(ref.poses), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.anchors), np.asarray(ref.anchors), atol=1e-4
+    )

@@ -13,7 +13,12 @@ Two layers:
 * :func:`pose_graph_gn` — relative-pose factors between keyframes
   (odometry + loop closures), Gauss-Newton on the dense 6K system.
 * :func:`schur_ba` — depth-reprojection factors between keyframes and 3-D
-  anchor points; Schur-complement reduction to the camera system.
+  anchor points; Schur-complement reduction to the camera system. Exact
+  dense reference: materializes Hcc (K,K,6,6) / Hcl (K,L,6,3), so it is
+  only for toy problems and for testing the scalable path against.
+* :func:`schur_ba_cg` — the production path: matrix-free preconditioned CG
+  on the reduced camera system, O(N + K + L) memory, two small psums per
+  CG step when observation-sharded. Use this beyond ~10 keyframes.
 """
 
 from __future__ import annotations
@@ -194,6 +199,164 @@ def schur_ba(
 
     (poses, anchors), hist = jax.lax.scan(
         body, (jnp.asarray(poses_init, jnp.float32), jnp.asarray(anchors_init, jnp.float32)),
+        None, length=iters,
+    )
+    return BAResult(poses=poses, anchors=anchors, residual_history=hist)
+
+
+_HI = jax.lax.Precision.HIGHEST  # metric math must not drop to bf16 on MXU
+
+
+def schur_ba_cg(
+    poses_init: jnp.ndarray,
+    anchors_init: jnp.ndarray,
+    problem: BAProblem,
+    iters: int = 8,
+    damping: float = 1e-4,
+    cg_iters: int = 40,
+    axis_name: Optional[str] = None,
+) -> BAResult:
+    """Scalable Schur-complement BA: matrix-free CG on the reduced camera
+    system — the production path for real keyframe counts.
+
+    :func:`schur_ba` materializes ``Hcc (K,K,6,6)`` and ``Hcl (K,L,6,3)``
+    and solves the reduced system densely: exact, but O(K^2 + K*L) memory and
+    dead beyond toy scale. This variant never forms either block. Each
+    Gauss-Newton iteration keeps only per-observation Jacobians
+    (``Jc (N,3,6)``, ``Jl (N,3,3)``) and the block-diagonal ``Hll (L,3,3)``,
+    and solves ``S dc = -(gc - Hcl Hll^-1 gl)`` by conjugate gradients where
+    every ``S @ x`` is two segment-sum passes over observations:
+
+        u = Jc x[k]                  (N,3)   per-observation
+        Hcc x   = scatter_k Jc^T u           (K,6)
+        v       = scatter_l Jl^T u           (L,3)   [psum over shards]
+        w       = Hll^-1 v                   (L,3)   block-diagonal
+        Hcl w   = scatter_k Jc^T (Jl w[l])   (K,6)
+        S x     = Hcc x - Hcl w + damping*x          [psum over shards]
+
+    O(N + K + L) memory, O(cg_iters * N) work per GN step, and under
+    ``shard_map`` with observations sharded over ``axis_name`` exactly two
+    small collectives per CG step (an (L,3) and a (K,6) psum over ICI) —
+    the distributed-BA north star (SURVEY.md §2.E) with communication
+    independent of N. Preconditioner: inverse block-diagonal of Hcc
+    (6x6 per keyframe). Keyframe 0 is gauge-fixed.
+    """
+    K = poses_init.shape[0]
+    L = anchors_init.shape[0]
+    N = problem.frame_idx.shape[0]
+    ks, ls = problem.frame_idx, problem.anchor_idx
+
+    def reduce_(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    gauge = jnp.concatenate(
+        [jnp.zeros((1, 6), jnp.float32), jnp.ones((K - 1, 6), jnp.float32)]
+    )
+
+    def body(carry, _):
+        poses, anchors = carry
+
+        def one(o):
+            k = ks[o]
+            l = ls[o]
+            xi = poses[k]
+            p = anchors[l]
+            r = _obs_residual(xi, p, problem.meas_cam[o])
+            Jc = jax.jacfwd(lambda x: _obs_residual(x, p, problem.meas_cam[o]))(xi)
+            Jl = jax.jacfwd(lambda q: _obs_residual(xi, q, problem.meas_cam[o]))(p)
+            return r, Jc, Jl
+
+        rs, Jcs, Jls = jax.vmap(one)(jnp.arange(N))
+
+        def scat_k(contrib):  # (N,6) -> (K,6)
+            return jnp.zeros((K, 6)).at[ks].add(contrib)
+
+        def scat_l(contrib):  # (N,3) -> (L,3)
+            return jnp.zeros((L, 3)).at[ls].add(contrib)
+
+        def jcT(u):  # (N,3) -> (N,6)
+            return jnp.einsum("nri,nr->ni", Jcs, u, precision=_HI)
+
+        def jlT(u):  # (N,3) -> (N,3)
+            return jnp.einsum("nri,nr->ni", Jls, u, precision=_HI)
+
+        gc = reduce_(scat_k(jcT(rs)))
+        gl = reduce_(scat_l(jlT(rs)))
+        Hll = reduce_(
+            jnp.zeros((L, 3, 3)).at[ls].add(
+                jnp.einsum("nri,nrj->nij", Jls, Jls, precision=_HI)
+            )
+        )
+        Hll_inv = jnp.linalg.inv(Hll + damping * jnp.eye(3))
+        # Jacobi block preconditioner from the Hcc block diagonal
+        Hcc_diag = reduce_(
+            jnp.zeros((K, 6, 6)).at[ks].add(
+                jnp.einsum("nri,nrj->nij", Jcs, Jcs, precision=_HI)
+            )
+        )
+        M_inv = jnp.linalg.inv(Hcc_diag + damping * jnp.eye(6))
+
+        def hll_solve(v):  # (L,3) -> (L,3)
+            return jnp.einsum("lij,lj->li", Hll_inv, v, precision=_HI)
+
+        def matvec(x):  # (K,6) -> S x, gauge-masked
+            x = x * gauge
+            u = jnp.einsum("nri,ni->nr", Jcs, x[ks], precision=_HI)  # (N,3)
+            v = reduce_(scat_l(jlT(u)))
+            w = hll_solve(v)
+            z = jnp.einsum("nri,ni->nr", Jls, w[ls], precision=_HI)  # (N,3)
+            sx = reduce_(scat_k(jcT(u)) - scat_k(jcT(z))) + damping * x
+            return sx * gauge
+
+        # rhs: b = -(gc - Hcl Hll^-1 gl)
+        w0 = hll_solve(gl)
+        z0 = jnp.einsum("nri,ni->nr", Jls, w0[ls], precision=_HI)
+        b = -(gc - reduce_(scat_k(jcT(z0)))) * gauge
+
+        def precond(r):
+            return jnp.einsum("kij,kj->ki", M_inv, r, precision=_HI) * gauge
+
+        # fixed-trip-count preconditioned CG (deterministic under jit and
+        # shard_map; every operand here is replicated, so the dot products
+        # need no collectives)
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        x0 = jnp.zeros((K, 6))
+        r0 = b
+        z0c = precond(r0)
+        p0 = z0c
+        rz0 = dot(r0, z0c)
+
+        def cg_step(c, _):
+            x, r, p, rz = c
+            sp = matvec(p)
+            psp = dot(p, sp)
+            alpha = jnp.where(psp > 0.0, rz / jnp.maximum(psp, 1e-30), 0.0)
+            x = x + alpha * p
+            r = r - alpha * sp
+            z = precond(r)
+            rz_new = dot(r, z)
+            beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (dc, _, _, _), _ = jax.lax.scan(
+            cg_step, (x0, r0, p0, rz0), None, length=cg_iters
+        )
+        dc = dc * gauge
+
+        # back-substitute anchors: dl = -Hll^-1 (gl + Hlc dc)
+        u = jnp.einsum("nri,ni->nr", Jcs, dc[ks], precision=_HI)
+        hlc_dc = reduce_(scat_l(jlT(u)))
+        dl = -hll_solve(gl + hlc_dc)
+
+        sq = reduce_(jnp.sum(rs * rs))
+        return (poses + dc, anchors + dl), sq
+
+    (poses, anchors), hist = jax.lax.scan(
+        body,
+        (jnp.asarray(poses_init, jnp.float32), jnp.asarray(anchors_init, jnp.float32)),
         None, length=iters,
     )
     return BAResult(poses=poses, anchors=anchors, residual_history=hist)
