@@ -8,11 +8,14 @@ the fusion stage itself over a few synthetic frames with ground-truth poses
 (no full-pipeline compile needed).
 
 Timing through the axon relay: dispatch is async and ``block_until_ready``
-can be a no-op, so each lap is closed by fetching a tiny scalar slice; each
-stage line therefore carries ~25-30 ms of relay dispatch overhead that the
-single-dispatch full pipeline pays only once.
+can be a no-op, so laps are closed by fetching a tiny scalar slice — a
+~25-30 ms relay round-trip per dispatch. To cancel that overhead each stage
+is ALSO timed as a ``lax.scan`` of N chained iterations inside one jit
+(iteration i's input perturbed by a denormal function of iteration i-1's
+output, so XLA can neither CSE nor overlap them); the per-iteration device
+time is (T_N - T_1)/(N - 1). Those are the numbers BASELINE.md records.
 
-Usage: python -u apps/profile_stages.py [reps]
+Usage: python -u apps/profile_stages.py [reps] [scan_n]
 """
 
 import os
@@ -54,8 +57,69 @@ def lap(fn, *args, reps=3):
     return min(ts), out
 
 
+def device_time(fn, *args, scan_n=8, reps=3):
+    """Per-iteration device time of ``fn(*args)`` with dispatch overhead
+    cancelled: run a lax.scan of k chained iterations in ONE jit for
+    k in {1, scan_n} and return (T_n - T_1)/(n - 1).
+
+    Chaining: iteration i perturbs the first float input leaf by a denormal
+    derived from iteration i-1's output, so XLA cannot CSE the iterations
+    into one or overlap them; the perturbation (~1e-38) is far below any
+    working precision."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(args)
+    f_idx = next(
+        i for i, l in enumerate(leaves)
+        if hasattr(l, "dtype") and l.dtype == jnp.float32
+    )
+
+    def make(k):
+        @jax.jit
+        def run(*args):
+            leaves0 = jax.tree.flatten(args)[0]
+
+            def body(c, _):
+                ls = list(leaves0)
+                ls[f_idx] = ls[f_idx] + c
+                out = fn(*jax.tree.unflatten(treedef, ls))
+                # depend on a FULL reduction of every float output leaf:
+                # depending on a single element would let XLA slice away the
+                # rest of a map-type stage (verified: refine dropped 98% of
+                # its work). nansum: NaN is a legal map value (sentinel) and
+                # must not poison the chain. Cost: one read pass over the
+                # outputs, negligible vs the gather-bound stages measured.
+                lf = [
+                    l for l in jax.tree.leaves(out)
+                    if hasattr(l, "dtype") and l.dtype == jnp.float32
+                ]
+                s = sum(jnp.nansum(l) for l in lf)
+                c2 = s.astype(jnp.float32) * 1e-38 * 1e-38
+                return c2, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return c
+
+        return run
+
+    def t_of(k):
+        run = make(k)
+        fetch(run(*args))  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(run(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, tn = t_of(1), t_of(scan_n)
+    return max(tn - t1, 0.0) / (scan_n - 1)
+
+
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    scan_n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     import jax
     import jax.numpy as jnp
 
@@ -218,26 +282,55 @@ def main():
     r_v2c, t_v2c, r_c2v, t_c2v = pose_pieces(pose)
 
     results = {}
+    dev = {}
     t, prep_out = lap(prep, depth, reps=reps)
     results["preprocess+pyramids+maps"] = t
     _, vmaps_curr, nmaps_curr = prep_out
+    # device_time chains through the first f32 leaf, so uint16 depth is
+    # passed as f32 and cast back inside
+    dev["preprocess+pyramids+maps"] = device_time(
+        lambda d: prep(d.astype(jnp.uint16)), depth.astype(jnp.float32),
+        scan_n=scan_n, reps=reps,
+    )
 
     t, _ = lap(fuse_keep, vol, depth, r_v2c, t_v2c, reps=reps)
     results["fusion_rows"] = t
+    dev["fusion_rows"] = device_time(
+        lambda v, d, r, tt: fuse_fn(
+            bricks.BrickVolume(v, vol.grad, vol.weight), d.astype(jnp.uint16), r, tt
+        ),
+        vol.value, depth.astype(jnp.float32), r_v2c, t_v2c,
+        scan_n=scan_n, reps=reps,
+    )
 
     t, ray_out = lap(rays_of, r_c2v, t_c2v)
     results["camera_rays"] = t
     ray_dir, ray_start = ray_out
+    dev["camera_rays"] = device_time(rays_of, r_c2v, t_c2v, scan_n=scan_n, reps=reps)
 
     t, packed = lap(skip_pack, vol, reps=reps)
     results["skip_rows_build"] = t
+    dev["skip_rows_build"] = device_time(
+        lambda v: skip_pack(bricks.BrickVolume(v, vol.grad, vol.weight)),
+        vol.value, scan_n=scan_n, reps=reps,
+    )
 
     t, hit = lap(skip_march_stage, packed, ray_start, ray_dir, reps=reps)
     results["skip_march"] = t
+    dev["skip_march"] = device_time(
+        skip_march_stage, packed, ray_start, ray_dir, scan_n=scan_n, reps=reps
+    )
 
     t, maps = lap(refine_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead, reps=reps)
     results["refine+normals+resize"] = t
     vmaps_prev, nmaps_prev = maps
+    dev["refine+normals+resize"] = device_time(
+        lambda v, rs, rd, hf, hd: refine_stage(
+            bricks.BrickVolume(v, vol.grad, vol.weight), rs, rd, hf, hd
+        ),
+        vol.value, ray_start, ray_dir, hit.t_found, hit.t_dead,
+        scan_n=scan_n, reps=reps,
+    )
 
     w2c_np = np.linalg.inv(np.asarray(ds.get_pose(frame + 1))).astype(np.float32)
     t, _ = lap(
@@ -246,12 +339,24 @@ def main():
         vmaps_prev, nmaps_prev, reps=reps,
     )
     results["icp_3level_12iter"] = t
+    dev["icp_3level_12iter"] = device_time(
+        icp_stage, jnp.asarray(w2c_np),
+        tuple(vmaps_curr), tuple(nmaps_curr), vmaps_prev, nmaps_prev,
+        scan_n=scan_n, reps=reps,
+    )
 
     total = sum(results.values())
-    print("\n== stage times (min of %d reps) ==" % reps, flush=True)
-    for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
-        print(f"  {k:28s} {1000*v:8.1f} ms   ({100*v/total:4.1f}%)")
-    print(f"  {'SUM':28s} {1000*total:8.1f} ms   ({1000.0/ (1000*total):.2f} fps-equiv)")
+    dtotal = sum(dev.values())
+    print("\n== stage times: dispatch-lap | device (scan-derived) ==", flush=True)
+    for k, v in sorted(dev.items(), key=lambda kv: -kv[1]):
+        print(
+            f"  {k:28s} {1000*results[k]:8.1f} ms | {1000*v:8.1f} ms"
+            f"   ({100*v/dtotal:4.1f}% of device sum)"
+        )
+    print(
+        f"  {'SUM':28s} {1000*total:8.1f} ms | {1000*dtotal:8.1f} ms"
+        f"   ({1000.0/(1000*dtotal):.2f} fps-equiv device)"
+    )
 
 
 if __name__ == "__main__":

@@ -76,10 +76,14 @@ class SlamConfig:
     # around surfaces halves with IDENTICAL events (ops/bricks.py, event-
     # exactness argument above skip_rows4; equivalence-tested)
     raycast_skip_gran: int = 8
-    # fetch refinement trilinear taps from a packed row table (fewer gather
-    # issues; costs an 8-float-per-voxel transient — disable for volumes
-    # where 4x the value+grad footprint doesn't fit HBM)
-    raycast_packed_taps: bool = True
+    # fetch refinement trilinear taps from a pack_vg_z9 row table (4 row
+    # gathers per dual trilinear instead of 16 scalar gathers,
+    # bit-identical). Measured NET LOSS on TPU v5e at 256^3 (BASELINE.md):
+    # the (NB*64, 18) table's narrow minor dim is lane-padded to 128, making
+    # the per-frame build ~13.5 ms, and an 18-float row gather costs ~32 ns
+    # vs 9.4 ns scalar, so 4 rows barely beat 16 scalars. Off by default;
+    # kept as a verified opt-in for topologies with cheap row gathers.
+    raycast_packed_taps: bool = False
 
     # volume storage layout: "dense" = (X, Y, Z) arrays (reference
     # semantics, TsdfVolume.cpp:17-20); "brick" = persistent (NB, 512)
