@@ -43,6 +43,12 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--sharded", action="store_true", help="use the multi-chip engine")
     ap.add_argument("--frames", type=int, default=None, help="override end_frame")
+    ap.add_argument(
+        "--scan", type=int, default=0, metavar="K",
+        help="process frames in on-device lax.scan chunks of K (one dispatch "
+        "per chunk instead of per frame — amortizes the ~30 ms relay "
+        "round-trip; same math as the per-frame loop, kinfu.process_frames)",
+    )
     args = ap.parse_args()
 
     from xslam_tpu.io.config import load_config
@@ -75,26 +81,53 @@ def main():
     total_time = 0.0
     timed_frames = 0
     print("start slam!")
-    for i, fid in enumerate(frame_ids):
-        depth = dataset.get_depth(fid)
-        gt_pose = dataset.get_pose(fid) if config.use_gt_pose else None
 
-        t0 = time.perf_counter()
-        state, res = engine.process_frame(state, depth, gt_pose=gt_pose)
-        pose_c2w = np.asarray(res.camera2world.v)  # host fetch = full sync
-        dt = (time.perf_counter() - t0) * 1000.0
-        if i > 0:  # exclude compile
-            total_time += dt
-            timed_frames += 1
+    def log_frame(i, fid, pose_c2w, align_ok):
         engine.pose_log.append(pose_c2w)
-
         if config.log_slam_pose:
             save_pose(os.path.join(out_dir, "slam"), fid, pose_c2w)
         if config.log_gt_pose:
             gt = np.linalg.inv(dataset.get_pose(frame_ids[0])) @ dataset.get_pose(fid)
             save_pose(os.path.join(out_dir, "gt"), fid, gt)
-        if not bool(res.align_ok):
+        if not align_ok:
             print(f"frame {i}: align failed!")
+
+    if args.scan > 1 and not args.sharded:
+        import jax.numpy as jnp
+
+        K = args.scan
+        pos = 0
+        while pos < n_frames:
+            ids = frame_ids[pos:pos + K]
+            depths = jnp.stack([jnp.asarray(dataset.get_depth(f)) for f in ids])
+            gts = (
+                np.stack([dataset.get_pose(f) for f in ids]).astype(np.float32)
+                if config.use_gt_pose else None
+            )
+            t0 = time.perf_counter()
+            state, res = engine.process_frames(state, depths, gt_poses=gts)
+            poses = np.asarray(res.camera2world.v)  # host fetch = full sync
+            dt = (time.perf_counter() - t0) * 1000.0
+            if pos > 0:  # exclude the compile chunk
+                total_time += dt
+                timed_frames += len(ids)
+            oks = np.asarray(res.align_ok)
+            for j, fid in enumerate(ids):
+                log_frame(pos + j, fid, poses[j], bool(oks[j]))
+            pos += len(ids)
+    else:
+        for i, fid in enumerate(frame_ids):
+            depth = dataset.get_depth(fid)
+            gt_pose = dataset.get_pose(fid) if config.use_gt_pose else None
+
+            t0 = time.perf_counter()
+            state, res = engine.process_frame(state, depth, gt_pose=gt_pose)
+            pose_c2w = np.asarray(res.camera2world.v)  # host fetch = full sync
+            dt = (time.perf_counter() - t0) * 1000.0
+            if i > 0:  # exclude compile
+                total_time += dt
+                timed_frames += 1
+            log_frame(i, fid, pose_c2w, bool(res.align_ok))
 
     if config.draw_pcd:
         from xslam_tpu.ops.extract import extract_points

@@ -75,31 +75,61 @@ def main():
     depths = [jnp.asarray(ds.get_depth(i)) for i in range(n_frames)]
     jax.block_until_ready(depths)
 
-    # warmup (compile + first dispatches), outside the timed region
-    results = []
-    for i in range(warmup):
-        state, res = engine.process_frame(state, depths[i])
-        results.append(res)
-    np.asarray(results[-1].camera2world.v)
+    # dispatch mode: "scan" (default) processes frames in on-device
+    # lax.scan chunks — one host dispatch per chunk, numerically identical
+    # to the per-frame loop (kinfu.process_frames); "frame" is the
+    # per-frame-dispatch loop. Through the axon relay each dispatch costs a
+    # ~30 ms host round-trip that the reference's local-GPU loop does not
+    # pay (BASELINE.md round 3); scan mode measures what the chip sustains.
+    mode = os.environ.get("XSLAM_BENCH_MODE", "scan")
+    chunk = 6
 
-    # timed region: frames dispatch back-to-back (async dispatch pipelines
-    # the ~30 ms relay submission under the device compute); the wall clock
-    # over the whole span divided by frames is the sustained throughput —
-    # the same quantity the reference's sum/num mean measures for its
-    # synchronous single-stream loop (main.cpp:57-60,83)
-    t0 = time.perf_counter()
-    for i in range(warmup, n_frames):
-        state, res = engine.process_frame(state, depths[i])
-        results.append(res)
-    # close the span by fetching the last pose (block_until_ready can be a
-    # no-op under relayed backends)
-    np.asarray(results[-1].camera2world.v)
-    span = time.perf_counter() - t0
+    if mode == "scan":
+        n_chunks = n_frames // chunk
+        warm_frames = chunk  # first chunk = warmup + compile
+        stacked = [jnp.stack(depths[i * chunk:(i + 1) * chunk]) for i in range(n_chunks)]
+        poses_chunks = []
+        overflow_chunks = []
+        state, res = engine.process_frames(state, stacked[0])
+        poses_chunks.append(np.asarray(res.camera2world.v))
+        overflow_chunks.append(np.asarray(res.fusion_overflow))
 
-    engine.pose_log = [np.asarray(r.camera2world.v) for r in results]
-    overflowed = any(bool(r.fusion_overflow) for r in results)
+        t0 = time.perf_counter()
+        results = []
+        for c in range(1, n_chunks):
+            state, res = engine.process_frames(state, stacked[c])
+            results.append(res)
+        # close the span by fetching the last pose (block_until_ready can
+        # be a no-op under relayed backends)
+        np.asarray(results[-1].camera2world.v[-1])
+        span = time.perf_counter() - t0
+        for res in results:
+            poses_chunks.append(np.asarray(res.camera2world.v))
+            overflow_chunks.append(np.asarray(res.fusion_overflow))
 
-    mean_ms = 1000.0 * span / (n_frames - warmup)
+        engine.pose_log = list(np.concatenate(poses_chunks, axis=0))
+        overflowed = bool(np.concatenate(overflow_chunks).any())
+        timed = chunk * (n_chunks - 1)
+        n_frames = chunk * n_chunks  # for the ATE slice below
+        mean_ms = 1000.0 * span / timed
+    else:
+        # warmup (compile + first dispatches), outside the timed region
+        results = []
+        for i in range(warmup):
+            state, res = engine.process_frame(state, depths[i])
+            results.append(res)
+        np.asarray(results[-1].camera2world.v)
+
+        t0 = time.perf_counter()
+        for i in range(warmup, n_frames):
+            state, res = engine.process_frame(state, depths[i])
+            results.append(res)
+        np.asarray(results[-1].camera2world.v)
+        span = time.perf_counter() - t0
+
+        engine.pose_log = [np.asarray(r.camera2world.v) for r in results]
+        overflowed = any(bool(r.fusion_overflow) for r in results)
+        mean_ms = 1000.0 * span / (n_frames - warmup)
     fps = 1000.0 / mean_ms
 
     est = normalize_to_first(engine.pose_log)
@@ -118,6 +148,7 @@ def main():
                 "ate_rmse_m": round(ate, 5),
                 "fusion_overflow": overflowed,
                 "frames": n_frames,
+                "dispatch": mode,
                 "workload": "640x480 depth, 256^3 TSDF @0.03m, 3-level ICP {5,4,3}",
                 "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
             }

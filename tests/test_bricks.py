@@ -323,3 +323,71 @@ def test_skip_gran4_events_identical():
     np.testing.assert_array_equal(np.asarray(vm8.g), np.asarray(vm4.g))
     np.testing.assert_array_equal(np.asarray(nm8.v), np.asarray(nm4.v))
     np.testing.assert_array_equal(np.asarray(nm8.g), np.asarray(nm4.g))
+
+
+def test_march_skip_compact_bit_identical():
+    """The survivor-compacted march must produce BIT-IDENTICAL events and
+    model maps to the lockstep while_loop march at both skip granularities
+    (the per-ray integer step counter makes each ray's sample grid
+    independent of which compaction batch it marches in). Exercises a
+    deliberately undersized capacity schedule so the final exact sweep also
+    runs live iterations."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(3)
+    res = vol_cfg.resolution
+    c2v = se3.matmul(
+        lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(2), jnp.float32))
+    )
+    ray_dir, ray_start = raycast._camera_rays(
+        se3.rotation(c2v), se3.translation(c2v), SMALL_INTR
+    )
+
+    for gran in (8, 4):
+        packed = (
+            bricks.skip_rows(brick, res) if gran == 8
+            else bricks.skip_rows4(brick, res)
+        )
+        read = raycast_bricks._value_reader(packed, res)
+        ref = jax.jit(
+            lambda read=read, gran=gran: raycast.march_skip(
+                None, None, ray_start, ray_dir, vol_cfg,
+                packed_read=read, shape=res, jump_unit=gran,
+            )
+        )()
+        for phases in (raycast.COMPACT_PHASES, ((6, 1.0), (4, 0.05))):
+            out = jax.jit(
+                lambda read=read, gran=gran, phases=phases:
+                raycast.march_skip_compact(
+                    None, None, ray_start, ray_dir, vol_cfg,
+                    packed_read=read, shape=res, jump_unit=gran,
+                    phases=phases,
+                )
+            )()
+            np.testing.assert_array_equal(
+                np.asarray(ref.t_found), np.asarray(out.t_found)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref.t_dead), np.asarray(out.t_dead)
+            )
+
+    # and through the full brick raycast (bench path): identical maps
+    v2w = se3.inverse(lift(jnp.asarray(w2v)))
+    args = (
+        brick, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm_r, nm_r = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, SMALL_INTR, vol_cfg, normals_mode="screen",
+            march_mode="skip", compact=False,
+        )
+    )(*args)
+    vm_c, nm_c = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, SMALL_INTR, vol_cfg, normals_mode="screen",
+            march_mode="skip", compact=True,
+        )
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(vm_r.v), np.asarray(vm_c.v))
+    np.testing.assert_array_equal(np.asarray(vm_r.g), np.asarray(vm_c.g))
+    np.testing.assert_array_equal(np.asarray(nm_r.v), np.asarray(nm_c.v))
+    np.testing.assert_array_equal(np.asarray(nm_r.g), np.asarray(nm_c.g))

@@ -59,3 +59,47 @@ def test_use_gt_pose_mode():
         engine.log_pose(res)
     np.testing.assert_allclose(engine.pose_log[2], ds.get_pose(2), atol=1e-6)
     assert (np.asarray(state.volume.weight) > 0).sum() > 5000
+
+
+def test_process_frames_scan_matches_loop():
+    """The one-dispatch lax.scan multi-frame entry must reproduce the
+    per-frame loop: bit-equal for the first frames, then within the usual
+    fma-noise chaotic-amplification envelope (the scan body is the same
+    pure step compiled in a different program context)."""
+    import jax.numpy as jnp
+
+    from tests.helpers import small_config, small_dataset
+    from xslam_tpu.models.kinfu import XSlamEngine
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    n = 6
+    ds = small_dataset(n, degrees_per_frame=1.0)
+    cfg = small_config(
+        end_frame=n, volume_layout="brick", fusion_mode="brick",
+        raycast_march="skip", raycast_normals="screen",
+        model_map_level=1, icp_fixed_assoc=True, num_levels=2,
+    )
+    eng = XSlamEngine(cfg)
+    st = eng.init_state()
+    poses_loop = []
+    for i in range(n):
+        st, res = eng.process_frame(st, ds.get_depth(i))
+        poses_loop.append(np.asarray(res.camera2world.v))
+
+    eng2 = XSlamEngine(cfg)
+    st2 = eng2.init_state()
+    depths = jnp.stack([jnp.asarray(ds.get_depth(i)) for i in range(n)])
+    st2, res = eng2.process_frames(st2, depths)
+    poses_scan = np.asarray(res.camera2world.v)
+    assert poses_scan.shape == (n, 4, 4)
+    assert bool(np.asarray(res.align_ok).all())
+
+    np.testing.assert_array_equal(poses_loop[0], poses_scan[0])
+    np.testing.assert_array_equal(poses_loop[1], poses_scan[1])
+    for i in range(2, n):
+        np.testing.assert_allclose(poses_loop[i], poses_scan[i], atol=2e-3)
+
+    gt = normalize_to_first([ds.get_pose(i) for i in range(n)])
+    ate_scan = ate_rmse(normalize_to_first(list(poses_scan)), gt)
+    ate_loop = ate_rmse(normalize_to_first(poses_loop), gt)
+    assert abs(ate_scan - ate_loop) < 2e-3, (ate_scan, ate_loop)

@@ -76,6 +76,10 @@ class SlamConfig:
     # around surfaces halves with IDENTICAL events (ops/bricks.py, event-
     # exactness argument above skip_rows4; equivalence-tested)
     raycast_skip_gran: int = 8
+    # survivor-compacted skip march (ops/raycast.py::march_skip_compact):
+    # identical events, gathers only for not-yet-finished rays in later
+    # phases instead of lockstep-to-the-slowest-ray; equivalence-tested
+    raycast_compact: bool = False
     # fetch refinement trilinear taps from a pack_vg_z9 row table (4 row
     # gathers per dual trilinear instead of 16 scalar gathers,
     # bit-identical). Measured NET LOSS on TPU v5e at 256^3 (BASELINE.md):

@@ -118,6 +118,55 @@ class XSlamEngine:
         )
         return state, result
 
+    def process_frames(
+        self,
+        state: SlamState,
+        depths_u16: jnp.ndarray,
+        gt_poses: Optional[np.ndarray] = None,
+    ) -> Tuple[SlamState, FrameResult]:
+        """Track + fuse a (K, H, W) stack of frames in ONE device dispatch:
+        ``lax.scan`` of the per-frame step with the SLAM state as carry.
+
+        Same math as K :meth:`process_frame` calls — the step is a pure
+        (state, depth) -> (state, result) function and scanning it changes
+        only where the loop lives — but a DIFFERENT compiled program, so
+        XLA's fma/fusion choices differ at the 1-ulp level and trajectories
+        agree only to the usual chaotic-amplification envelope (first two
+        frames bit-equal, ~5e-4 pose drift after 6 frames on the small
+        workload; tests/test_e2e_slam.py). This is the production shape for
+        offline mapping / benchmarking on remote or relay-attached devices,
+        where each dispatch costs a host round-trip that a per-frame Python
+        loop pays K times (measured ~30 ms/frame through the axon relay,
+        BASELINE.md round 3). Returns the final state and a FrameResult
+        pytree with a leading K axis."""
+        K = depths_u16.shape[0]
+        if gt_poses is None:
+            gt_poses = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4))
+        key = (K,) + tuple(depths_u16.shape[1:])
+        if not hasattr(self, "_scan_steps"):
+            self._scan_steps = {}
+        if key not in self._scan_steps:
+            step = functools.partial(
+                process_frame,
+                config=self.config,
+                intr=self.intr,
+                vol_cfg=self.vol_cfg,
+                world2volume=self.world2volume,
+            )
+
+            def run(state, depths, gts):
+                def body(s, frame):
+                    d, g = frame
+                    s2, res = step(s, d, g)
+                    return s2, res
+
+                return jax.lax.scan(body, state, (depths, gts))
+
+            self._scan_steps[key] = jax.jit(run, donate_argnums=(0,))
+        return self._scan_steps[key](
+            state, jnp.asarray(depths_u16), jnp.asarray(gt_poses, np.float32)
+        )
+
     def log_pose(self, result: FrameResult):
         self.pose_log.append(np.asarray(result.camera2world.v))
 
@@ -383,6 +432,7 @@ def process_frame(
             hier_window=config.raycast_hier_window,
             packed_taps=config.raycast_packed_taps,
             skip_gran=config.raycast_skip_gran,
+            compact=config.raycast_compact,
         )
     else:
         vmap0, nmap0 = raycast.raycast(
@@ -391,6 +441,7 @@ def process_frame(
             march_mode=config.raycast_march,
             hier_window=config.raycast_hier_window,
             packed_taps=config.raycast_packed_taps,
+            compact=config.raycast_compact,
         )
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]

@@ -183,6 +183,7 @@ def raycast_bricks(
     hier_window: int = 12,
     packed_taps: bool = True,
     skip_gran: int = 8,
+    compact: bool = False,
 ) -> Tuple[CSFD, CSFD]:
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
@@ -200,7 +201,7 @@ def raycast_bricks(
         bvol, ray_start, ray_dir, r_v2w, t_v2w, cfg,
         normals_mode=normals_mode, march_mode=march_mode,
         hier_window=hier_window, packed_taps=packed_taps,
-        skip_gran=skip_gran,
+        skip_gran=skip_gran, compact=compact,
     )
 
 
@@ -218,6 +219,7 @@ def raycast_bricks_rays(
     apply_screen: bool = True,
     packed_taps: bool = True,
     skip_gran: int = 8,
+    compact: bool = False,
 ) -> Tuple[CSFD, CSFD]:
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
@@ -228,7 +230,9 @@ def raycast_bricks_rays(
     ``packed_taps`` routes refinement trilinears through the
     :func:`pack_vg_z9` row table (bit-identical, 4x fewer gather issues);
     ``skip_gran`` (8 or 4 voxels) is the skip-field cell edge — 4 halves the
-    fine-step band around surfaces with identical events (bricks.py)."""
+    fine-step band around surfaces with identical events (bricks.py);
+    ``compact`` uses the survivor-compacted march
+    (:func:`xslam_tpu.ops.raycast.march_skip_compact`, identical events)."""
     res = cfg.resolution
 
     if skip_gran not in (4, 8):
@@ -241,7 +245,10 @@ def raycast_bricks_rays(
     packed_read = _value_reader(packed, res)
 
     if march_mode == "skip":
-        hit = march_skip(
+        from .raycast import march_skip_compact
+
+        march_fn = march_skip_compact if compact else march_skip
+        hit = march_fn(
             None, None, ray_start, ray_dir, cfg,
             packed_read=packed_read, shape=res, jump_unit=skip_gran,
         )

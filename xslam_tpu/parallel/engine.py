@@ -270,6 +270,7 @@ def _process_frame_sharded(
             hier_window=config.raycast_hier_window,
             packed_taps=config.raycast_packed_taps,
             skip_gran=config.raycast_skip_gran,
+            compact=config.raycast_compact,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary
