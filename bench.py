@@ -75,13 +75,16 @@ def main():
     depths = [jnp.asarray(ds.get_depth(i)) for i in range(n_frames)]
     jax.block_until_ready(depths)
 
-    # dispatch mode: "scan" (default) processes frames in on-device
-    # lax.scan chunks — one host dispatch per chunk, numerically identical
-    # to the per-frame loop (kinfu.process_frames); "frame" is the
-    # per-frame-dispatch loop. Through the axon relay each dispatch costs a
-    # ~30 ms host round-trip that the reference's local-GPU loop does not
-    # pay (BASELINE.md round 3); scan mode measures what the chip sustains.
-    mode = os.environ.get("XSLAM_BENCH_MODE", "scan")
+    # dispatch mode: "frame" (default) is the per-frame-dispatch loop
+    # mirroring the reference's driver; "scan" processes frames in
+    # on-device lax.scan chunks (kinfu.process_frames), numerically
+    # identical. Measured round 3 (BASELINE.md): scan does NOT win on this
+    # toolchain — the scanned step runs ~same-or-slower per frame (the
+    # expected ~30 ms/dispatch relay saving did not materialize; the gap
+    # between the stage-profile device sum and the frame loop is real
+    # per-frame work, not dispatch overhead) — so the reference-shaped
+    # per-frame loop stays the default.
+    mode = os.environ.get("XSLAM_BENCH_MODE", "frame")
     chunk = 6
 
     if mode == "scan":
