@@ -82,7 +82,7 @@ def main():
     timed_frames = 0
     print("start slam!")
 
-    def log_frame(i, fid, pose_c2w, align_ok):
+    def log_frame(i, fid, pose_c2w, align_ok, overflow=False, inliers=None):
         engine.pose_log.append(pose_c2w)
         if config.log_slam_pose:
             save_pose(os.path.join(out_dir, "slam"), fid, pose_c2w)
@@ -90,7 +90,13 @@ def main():
             gt = np.linalg.inv(dataset.get_pose(frame_ids[0])) @ dataset.get_pose(fid)
             save_pose(os.path.join(out_dir, "gt"), fid, gt)
         if not align_ok:
-            print(f"frame {i}: align failed!")
+            print(f"frame {i}: align failed!" + (
+                f" (inliers={int(inliers)})" if inliers is not None else ""))
+        if overflow:
+            # brick-fusion ACTIVE list overflow: with fusion_overflow="flag"
+            # this frame's map update was PARTIAL (dropped bricks) — surface
+            # it; "dense" recovery re-integrates and never sets the flag
+            print(f"frame {i}: fusion brick-cap overflow (map update partial)")
 
     if args.scan > 1 and not args.sharded:
         import jax.numpy as jnp
@@ -112,8 +118,11 @@ def main():
                 total_time += dt
                 timed_frames += len(ids)
             oks = np.asarray(res.align_ok)
+            ovs = np.asarray(res.fusion_overflow)
+            inl = np.asarray(res.inlier_count)
             for j, fid in enumerate(ids):
-                log_frame(pos + j, fid, poses[j], bool(oks[j]))
+                log_frame(pos + j, fid, poses[j], bool(oks[j]),
+                          overflow=bool(ovs[j]), inliers=inl[j])
             pos += len(ids)
     else:
         for i, fid in enumerate(frame_ids):
@@ -127,7 +136,9 @@ def main():
             if i > 0:  # exclude compile
                 total_time += dt
                 timed_frames += 1
-            log_frame(i, fid, pose_c2w, bool(res.align_ok))
+            log_frame(i, fid, pose_c2w, bool(res.align_ok),
+                      overflow=bool(res.fusion_overflow),
+                      inliers=np.asarray(res.inlier_count))
 
     if config.draw_pcd:
         from xslam_tpu.ops.extract import extract_points

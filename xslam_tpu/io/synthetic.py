@@ -196,20 +196,59 @@ def handheld_trajectory(
     scale = (mean_speed_m_s / fps) / max(deltas.mean(), 1e-9)
     pos = pos[0:1] + (pos - pos[0:1]) * scale
 
-    poses = []
-    for i in range(n_frames):
-        z = target[i] - pos[i]
+    # Orientation: look-at with a per-frame ANGULAR RATE LIMIT. The raw
+    # look-at direction whips around when the camera path passes near the
+    # (independently generated) target path — the first cut of this
+    # generator produced 20-33 deg/frame spikes there, ~1000 deg/s at
+    # 30 Hz, far beyond any handheld sensor (real ICL-NUIM stays under
+    # ~1-2 deg/frame) and beyond projective ICP's convergence basin by
+    # design of the algorithm (reference included). Rotating the previous
+    # view direction toward the target by at most ``max_deg_frame``
+    # reproduces realistic bursts: rate saturates AT the cap during target
+    # swings and relaxes below it elsewhere.
+    max_deg_frame = 1.8
+    step_rad = np.radians(max_deg_frame)
+
+    def look_at(p, tgt):
+        z = tgt - p
         nz = np.linalg.norm(z)
-        if nz < 0.3:  # keep the look target at arm's length
-            z = np.array([0.0, 0.0, 1.0])
-            nz = 1.0
-        z = z / nz
+        z = z / nz if nz > 1e-6 else np.array([0.0, 0.0, 1.0])
         up = np.array([0.0, -1.0, 0.0])
         x = np.cross(up, z)
-        x /= max(np.linalg.norm(x), 1e-9)
+        nx = np.linalg.norm(x)
+        if nx < 1e-6:  # looking straight along +-up: any horizontal x
+            x = np.array([1.0, 0.0, 0.0])
+            nx = 1.0
+        x /= nx
         y = np.cross(z, x)
+        return np.stack([x, y, z], axis=1)
+
+    def rodrigues(axis, ang):
+        K = np.array(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+    poses = []
+    r_prev = None
+    for i in range(n_frames):
+        rd = look_at(pos[i], target[i])
+        if r_prev is None:
+            r = rd
+        else:
+            rel = r_prev.T @ rd
+            ang = np.arccos(np.clip((np.trace(rel) - 1) / 2, -1.0, 1.0))
+            if ang <= step_rad:
+                r = rd
+            else:
+                axis = np.array(
+                    [rel[2, 1] - rel[1, 2], rel[0, 2] - rel[2, 0], rel[1, 0] - rel[0, 1]]
+                )
+                axis /= max(np.linalg.norm(axis), 1e-12)
+                r = r_prev @ rodrigues(axis, step_rad)
+        r_prev = r
         c2w = np.eye(4)
-        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos[i]
+        c2w[:3, :3], c2w[:3, 3] = r, pos[i]
         poses.append(c2w)
     return poses
 
