@@ -67,3 +67,31 @@ def test_out_of_range_depth_values():
     d[30:60] = 50  # too close
     state, res = eng.process_frame(state, d)
     assert_state_sane(state)
+
+
+def test_max_translation_gate_rejects_implausible_motion():
+    """With a tiny max_translation_per_frame every real motion is
+    "implausible": alignment must be rejected with keep-prev-pose +
+    skip-integration semantics (the det/NaN-guard path); with the gate
+    disabled (0, the default = reference parity) the same frames track."""
+    ds = small_dataset(4, degrees_per_frame=2.0)
+
+    cfg = small_config(end_frame=4)
+    cfg.max_translation_per_frame = 1e-6
+    eng = XSlamEngine(cfg)
+    state = eng.init_state()
+    state, r0 = eng.process_frame(state, ds.get_depth(0))
+    w_after_first = np.asarray(state.volume.weight).sum()
+    pose0 = np.asarray(r0.camera2world.v)
+    state, r1 = eng.process_frame(state, ds.get_depth(1))
+    assert not bool(r1.align_ok)
+    np.testing.assert_allclose(np.asarray(r1.camera2world.v), pose0, atol=1e-6)
+    assert np.asarray(state.volume.weight).sum() == w_after_first
+
+    cfg2 = small_config(end_frame=4)
+    assert cfg2.max_translation_per_frame == 0.0
+    eng2 = XSlamEngine(cfg2)
+    s2 = eng2.init_state()
+    s2, _ = eng2.process_frame(s2, ds.get_depth(0))
+    s2, r = eng2.process_frame(s2, ds.get_depth(1))
+    assert bool(r.align_ok)

@@ -129,6 +129,17 @@ class SlamConfig:
     icp_damping: float = 0.0
     dist_thres: float = 0.10
     angle_thres_deg: float = 15.0
+    # pose-delta sanity gate: reject a frame's alignment (keep previous
+    # pose, skip integration — same semantics as the det/NaN guard,
+    # KinectFusionReconstruction.cpp:203-210) when the estimated per-frame
+    # motion exceeds this translation (m). 0 disables (reference parity:
+    # the reference has no such guard and will integrate a wild solve).
+    # Rationale: on the realistic 300-frame run ONE unrejected bad solve
+    # (286 mm apparent motion in 33 ms — 8.6 m/s, physically implausible
+    # for a handheld sensor) doubled the trajectory ATE; a generous cap
+    # turns such solves into ordinary rejected frames the next frame
+    # recovers from.
+    max_translation_per_frame: float = 0.0
 
     @property
     def trunc_dist(self) -> float:

@@ -255,21 +255,29 @@ def handheld_trajectory(
 
 def cluttered_scene() -> Scene:
     """A denser living-room-like scene (more geometry for ICP conditioning,
-    closer to ICL-NUIM's furnished room than the 4-object smoke scene)."""
+    closer to ICL-NUIM's furnished room than the 4-object smoke scene).
+
+    Room extents are calibrated to the real ICL-NUIM living room (~5 x 3 x
+    5 m): a first cut used a 6 x 4 x 6 m room whose far walls sat at 4+ m
+    from the handheld path — with the Kinect axial-noise model (sigma
+    ~ 0.0015 z^2, ~24 mm at 4 m) that range regime degrades projective ICP
+    in ANY config (measured: the reference-exact config drifts to ~90 mm
+    there, the fast config diverges) and is NOT representative of the
+    reference's canonical workload, whose viewing ranges stay ~1-3.5 m."""
     return Scene(
-        room=Box(np.array([-3.0, -2.0, -3.0]), np.array([3.0, 2.0, 3.0])),
+        room=Box(np.array([-2.4, -1.6, -2.4]), np.array([2.4, 1.6, 2.4])),
         spheres=[
-            Sphere(np.array([0.6, 0.4, 1.2]), 0.5),
-            Sphere(np.array([-1.2, -0.6, 0.3]), 0.35),
-            Sphere(np.array([1.8, 1.2, -1.4]), 0.45),
-            Sphere(np.array([-0.3, -1.0, -1.8]), 0.3),
+            Sphere(np.array([0.5, 0.3, 1.0]), 0.4),
+            Sphere(np.array([-1.0, -0.5, 0.25]), 0.3),
+            Sphere(np.array([1.4, 1.0, -1.1]), 0.36),
+            Sphere(np.array([-0.25, -0.8, -1.4]), 0.25),
         ],
         boxes=[
-            Box(np.array([-0.4, 1.0, -1.1]), np.array([0.9, 2.0, 0.1])),  # sofa
-            Box(np.array([-2.4, -0.2, 1.0]), np.array([-1.6, 2.0, 1.8])),  # shelf
-            Box(np.array([1.2, 0.8, 0.8]), np.array([2.6, 2.0, 2.2])),  # table
-            Box(np.array([-2.9, -2.0, -2.2]), np.array([-2.2, -0.4, -1.4])),  # cabinet
-            Box(np.array([0.3, 1.4, -2.9]), np.array([1.7, 2.0, -2.3])),  # bench
+            Box(np.array([-0.3, 0.8, -0.9]), np.array([0.7, 1.6, 0.1])),  # sofa
+            Box(np.array([-1.9, -0.15, 0.8]), np.array([-1.3, 1.6, 1.45])),  # shelf
+            Box(np.array([1.0, 0.65, 0.65]), np.array([2.1, 1.6, 1.75])),  # table
+            Box(np.array([-2.3, -1.6, -1.75]), np.array([-1.75, -0.3, -1.1])),  # cabinet
+            Box(np.array([0.25, 1.1, -2.3]), np.array([1.35, 1.6, -1.85])),  # bench
         ],
     )
 

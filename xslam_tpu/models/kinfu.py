@@ -328,6 +328,11 @@ def process_frame(
         # frame 0 keeps the identity pose; a failed alignment keeps the
         # previous pose and skips integration (ProcessFrame:150-154)
         c2w_prev = se3.inverse(state.world2camera)
+        if config.max_translation_per_frame > 0:
+            # physically-implausible motion -> same rejection semantics as
+            # the det/NaN guard (see SlamConfig.max_translation_per_frame)
+            delta = jnp.linalg.norm(c2w_est.v[:3, 3] - c2w_prev.v[:3, 3])
+            align_ok = align_ok & (delta <= config.max_translation_per_frame)
         keep_prev = is_first | ~align_ok
         c2w = CSFD(
             jnp.where(keep_prev, c2w_prev.v, c2w_est.v),

@@ -194,6 +194,11 @@ def _process_frame_sharded(
             state, vmaps_curr, nmaps_curr, config, intr, mesh
         )
         c2w_prev = se3.inverse(state.world2camera)
+        if config.max_translation_per_frame > 0:
+            # physically-implausible motion -> same rejection semantics as
+            # the det/NaN guard (see SlamConfig.max_translation_per_frame)
+            delta = jnp.linalg.norm(c2w_est.v[:3, 3] - c2w_prev.v[:3, 3])
+            align_ok = align_ok & (delta <= config.max_translation_per_frame)
         keep_prev = is_first | ~align_ok
         c2w = CSFD(
             jnp.where(keep_prev, c2w_prev.v, c2w_est.v),
