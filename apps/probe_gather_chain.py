@@ -71,22 +71,10 @@ def main():
     dt = chained(lambda i: jnp.take(flat, i, mode="clip").sum())
     print(f"f32 scalar take:   {1e9 * dt / n_idx:7.2f} ns/gather", flush=True)
 
-    cplx = jnp.asarray(
-        (rng.standard_normal(n_rows) + 1j * rng.standard_normal(n_rows)).astype(
-            np.complex64
-        )
-    )
-
-    def cg(i):
-        z = jnp.take(cplx, i, mode="clip")
-        return (z.real + z.imag).sum()
-
-    try:
-        dt = chained(cg)
-        print(f"c64 scalar take:   {1e9 * dt / n_idx:7.2f} ns/gather", flush=True)
-    except Exception as e:  # pragma: no cover - probe
-        print(f"c64 take failed: {type(e).__name__}: {str(e)[:200]}", flush=True)
-
+    # NOTE: complex64 is probed LAST — device_put of a c64 array is
+    # UNIMPLEMENTED on this backend and the failure poisons subsequent
+    # uploads in the same process (observed: the next f32 device_put also
+    # throws UNIMPLEMENTED).
     for K in (2, 4, 8):
         table = jnp.asarray(
             rng.standard_normal((n_rows, K)).astype(np.float32)
@@ -99,6 +87,22 @@ def main():
         print(
             f"(N,{K}) row take:   {1e9 * dt / n_idx:7.2f} ns/row", flush=True
         )
+
+    try:
+        cplx = jnp.asarray(
+            (rng.standard_normal(n_rows) + 1j * rng.standard_normal(n_rows)).astype(
+                np.complex64
+            )
+        )
+
+        def cg(i):
+            z = jnp.take(cplx, i, mode="clip")
+            return (z.real + z.imag).sum()
+
+        dt = chained(cg)
+        print(f"c64 scalar take:   {1e9 * dt / n_idx:7.2f} ns/gather", flush=True)
+    except Exception as e:  # pragma: no cover - probe
+        print(f"c64 take failed: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -391,3 +391,69 @@ def test_march_skip_compact_bit_identical():
     np.testing.assert_array_equal(np.asarray(vm_r.g), np.asarray(vm_c.g))
     np.testing.assert_array_equal(np.asarray(nm_r.v), np.asarray(nm_c.v))
     np.testing.assert_array_equal(np.asarray(nm_r.g), np.asarray(nm_c.g))
+
+
+def test_trilinear_pair_bricks_bit_identical():
+    """interleave_vg + trilinear_pair_bricks (8 two-wide row gathers) must
+    reproduce trilinear_bricks (16 scalar gathers) BIT-FOR-BIT at random
+    dual points, including boundary/outside points (the not-ok branches)."""
+    _, vol_cfg, _, _, _, brick = _fused_states(2)
+    res = vol_cfg.resolution
+    rng = np.random.default_rng(5)
+    n = 4096
+    extent = np.asarray(res, np.float32) * vol_cfg.voxel_size
+    pts = rng.uniform(-0.05, 1.05, size=(n, 3)).astype(np.float32) * extent
+    k = n // 4
+    bvox = rng.integers(1, np.asarray(res) // 8, size=(k, 3)) * 8
+    pts[:k] = (bvox + rng.uniform(-0.26, 0.26, size=(k, 3))) * vol_cfg.voxel_size
+    g = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+
+    px = CSFD(jnp.asarray(pts[:, 0]), jnp.asarray(g[:, 0]))
+    py = CSFD(jnp.asarray(pts[:, 1]), jnp.asarray(g[:, 1]))
+    pz = CSFD(jnp.asarray(pts[:, 2]), jnp.asarray(g[:, 2]))
+
+    ref = jax.jit(
+        lambda px, py, pz: raycast_bricks.trilinear_bricks(
+            brick, res, px, py, pz, vol_cfg.voxel_size
+        )
+    )(px, py, pz)
+    vg = raycast_bricks.interleave_vg(brick)
+    fast = jax.jit(
+        lambda t, px, py, pz: raycast_bricks.trilinear_pair_bricks(
+            t, res, px, py, pz, vol_cfg.voxel_size
+        )
+    )(vg, px, py, pz)
+
+    np.testing.assert_array_equal(np.asarray(ref.v), np.asarray(fast.v))
+    np.testing.assert_array_equal(np.asarray(ref.g), np.asarray(fast.g))
+
+
+def test_raycast_bricks_pair_taps_bit_identical():
+    """The full brick raycast with pair_taps on/off must emit identical
+    model maps (the pair table only reroutes the refinement gathers)."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(3)
+    pose = jnp.asarray(ds.get_pose(2), jnp.float32)
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(pose))
+    v2w = lift(jnp.asarray(np.linalg.inv(w2v), jnp.float32))
+    intr1 = SMALL_INTR.level(1)
+    args = (
+        brick, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm_ref, nm_ref = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=False,
+        )
+    )(*args)
+    vm_fast, nm_fast = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=False,
+            pair_taps=True,
+        )
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(vm_ref.v), np.asarray(vm_fast.v))
+    np.testing.assert_array_equal(np.asarray(vm_ref.g), np.asarray(vm_fast.g))
+    np.testing.assert_array_equal(np.asarray(nm_ref.v), np.asarray(nm_fast.v))
+    np.testing.assert_array_equal(np.asarray(nm_ref.g), np.asarray(nm_fast.g))

@@ -88,6 +88,13 @@ class SlamConfig:
     # vs 9.4 ns scalar, so 4 rows barely beat 16 scalars. Off by default;
     # kept as a verified opt-in for topologies with cheap row gathers.
     raycast_packed_taps: bool = False
+    # fetch each refinement trilinear tap's (value, grad) as ONE 2-wide row
+    # gather from an interleave_vg pair table (8 gather issues per dual
+    # trilinear instead of 16; bit-identical; table build is one lane
+    # interleave, ~1 ms at 256^3). Narrow row gathers cost the same as
+    # scalar gathers on v5e (apps/probe_gather_chain.py: 2/4/8-wide all
+    # ~6.7-7.2 ns). Takes precedence over raycast_packed_taps.
+    raycast_pair_taps: bool = False
 
     # volume storage layout: "dense" = (X, Y, Z) arrays (reference
     # semantics, TsdfVolume.cpp:17-20); "brick" = persistent (NB, 512)

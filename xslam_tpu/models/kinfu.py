@@ -438,6 +438,7 @@ def process_frame(
             packed_taps=config.raycast_packed_taps,
             skip_gran=config.raycast_skip_gran,
             compact=config.raycast_compact,
+            pair_taps=config.raycast_pair_taps,
         )
     else:
         vmap0, nmap0 = raycast.raycast(

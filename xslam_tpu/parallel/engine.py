@@ -276,6 +276,7 @@ def _process_frame_sharded(
             packed_taps=config.raycast_packed_taps,
             skip_gran=config.raycast_skip_gran,
             compact=config.raycast_compact,
+            pair_taps=config.raycast_pair_taps,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary
