@@ -191,28 +191,57 @@ def main():
 
     @jax.jit
     def skip_march_stage(packed, ray_start, ray_dir):
-        # the bench march: event-exact skip march at full model resolution
+        # the round-2 bench march: event-exact skip march at model resolution
         read = raycast_bricks._value_reader(packed, res)
         return raycast.march_skip(
             None, None, ray_start, ray_dir, vol_cfg,
             packed_read=read, shape=res,
         )
 
-    v2w = np.linalg.inv(w2v_np).astype(np.float32)
+    @jax.jit
+    def hier_march_stage(vol, packed, ray_start, ray_dir):
+        # the round-3 bench march: skip march at HALF the model resolution
+        # anchoring a window-repair pass at model resolution
+        # (raycast_bricks.raycast_bricks_rays, march_mode="hier_skip")
+        read = raycast_bricks._value_reader(packed, res)
+        coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
+        coarse = raycast.march_skip(
+            None, None, ray_start, coarse_dir, vol_cfg,
+            packed_read=read, shape=res,
+        )
+        return raycast._window_repair(
+            None, ray_start, ray_dir.v, coarse, config.raycast_hier_window,
+            vol_cfg, read_fn=raycast_bricks._value_reader(vol.value, res),
+            shape=res,
+        )
 
     @jax.jit
-    def refine_stage(vol, ray_start, ray_dir, hit_found, hit_dead):
+    def pair_table_stage(vol):
+        return raycast_bricks.interleave_vg(vol)
+
+    v2w = np.linalg.inv(w2v_np).astype(np.float32)
+
+    def refine_stage_fn(vol, ray_start, ray_dir, hit_found, hit_dead, pair_vg=None):
         from xslam_tpu.csfd import vec3
 
         r_v2w = lift(jnp.asarray(v2w[:3, :3]))
         t_v2w = lift(jnp.asarray(v2w[:3, 3]))
         accept = hit_found < jnp.minimum(hit_dead, raycast.INF_T)
 
-        def trilin_at(p):
-            return raycast_bricks.trilinear_bricks(
-                vol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
-                vol_cfg.voxel_size,
-            )
+        if pair_vg is not None:
+
+            def trilin_at(p):
+                return raycast_bricks.trilinear_pair_bricks(
+                    pair_vg, res, vec3.comp(p, 0), vec3.comp(p, 1),
+                    vec3.comp(p, 2), vol_cfg.voxel_size,
+                )
+        else:
+
+            def trilin_at(p):
+                return raycast_bricks.trilinear_bricks(
+                    vol, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+                    vol_cfg.voxel_size,
+                )
 
         shape_only = jax.ShapeDtypeStruct(res, jnp.float32)
         vmap, nmap, v_ok, n_ok = raycast.refine(
@@ -230,6 +259,11 @@ def main():
             from xslam_tpu.models.kinfu import _resize_nmap_dual
             nmaps.append(_resize_nmap_dual(nmaps[-1]))
         return tuple(vmaps), tuple(nmaps)
+
+    refine_stage = jax.jit(refine_stage_fn)
+    refine_pair_stage = jax.jit(
+        lambda vol, rs, rd, hf, hd, vg: refine_stage_fn(vol, rs, rd, hf, hd, pair_vg=vg)
+    )
 
     @jax.jit
     def icp_stage(w2c, vmaps_curr, nmaps_curr, vmaps_prev, nmaps_prev):
@@ -321,6 +355,22 @@ def main():
         skip_march_stage, packed, ray_start, ray_dir, scan_n=scan_n, reps=reps
     )
 
+    t, hit_h = lap(hier_march_stage, vol, packed, ray_start, ray_dir, reps=reps)
+    results["hier_march (bench)"] = t
+    dev["hier_march (bench)"] = device_time(
+        lambda v, p, rs, rd: hier_march_stage(
+            bricks.BrickVolume(v, vol.grad, vol.weight), p, rs, rd
+        ),
+        vol.value, packed, ray_start, ray_dir, scan_n=scan_n, reps=reps,
+    )
+
+    t, pair_vg = lap(pair_table_stage, vol, reps=reps)
+    results["pair_table_build"] = t
+    dev["pair_table_build"] = device_time(
+        lambda v: pair_table_stage(bricks.BrickVolume(v, vol.grad, vol.weight)),
+        vol.value, scan_n=scan_n, reps=reps,
+    )
+
     t, maps = lap(refine_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead, reps=reps)
     results["refine+normals+resize"] = t
     vmaps_prev, nmaps_prev = maps
@@ -329,6 +379,17 @@ def main():
             bricks.BrickVolume(v, vol.grad, vol.weight), rs, rd, hf, hd
         ),
         vol.value, ray_start, ray_dir, hit.t_found, hit.t_dead,
+        scan_n=scan_n, reps=reps,
+    )
+
+    t, _ = lap(
+        refine_pair_stage, vol, ray_start, ray_dir, hit.t_found, hit.t_dead,
+        pair_vg, reps=reps,
+    )
+    results["refine_pair (bench)"] = t
+    dev["refine_pair (bench)"] = device_time(
+        lambda vg, rs, rd, hf, hd: refine_pair_stage(vol, rs, rd, hf, hd, vg),
+        pair_vg, ray_start, ray_dir, hit.t_found, hit.t_dead,
         scan_n=scan_n, reps=reps,
     )
 

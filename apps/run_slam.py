@@ -67,10 +67,19 @@ def main():
     print(f"frame num: {n_frames}")
 
     print("initialize engine......")
+    engine_logs_poses = False
     if args.sharded:
         from xslam_tpu.parallel.engine import ShardedXSlamEngine
 
         engine = ShardedXSlamEngine(config)
+    elif config.reloc_after_failures > 0:
+        # relocalize-on-tracking-loss + keyframing wrapper (the recovery
+        # path the reference's commented-out relocalization wrappers imply,
+        # KinectFusionReconstruction.cpp:374-436)
+        from xslam_tpu.models.recovery import RecoveringEngine
+
+        engine = RecoveringEngine(config)
+        engine_logs_poses = True  # RecoveringEngine appends to pose_log itself
     else:
         from xslam_tpu.models.kinfu import XSlamEngine
 
@@ -83,7 +92,8 @@ def main():
     print("start slam!")
 
     def log_frame(i, fid, pose_c2w, align_ok, overflow=False, inliers=None):
-        engine.pose_log.append(pose_c2w)
+        if not engine_logs_poses:
+            engine.pose_log.append(pose_c2w)
         if config.log_slam_pose:
             save_pose(os.path.join(out_dir, "slam"), fid, pose_c2w)
         if config.log_gt_pose:
@@ -98,7 +108,7 @@ def main():
             # it; "dense" recovery re-integrates and never sets the flag
             print(f"frame {i}: fusion brick-cap overflow (map update partial)")
 
-    if args.scan > 1 and not args.sharded:
+    if args.scan > 1 and not args.sharded and not engine_logs_poses:
         import jax.numpy as jnp
 
         K = args.scan

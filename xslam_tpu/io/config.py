@@ -93,8 +93,12 @@ class SlamConfig:
     # trilinear instead of 16; bit-identical; table build is one lane
     # interleave, ~1 ms at 256^3). Narrow row gathers cost the same as
     # scalar gathers on v5e (apps/probe_gather_chain.py: 2/4/8-wide all
-    # ~6.7-7.2 ns). Takes precedence over raycast_packed_taps.
-    raycast_pair_taps: bool = False
+    # ~6.7-7.2 ns). Takes precedence over raycast_packed_taps. Measured
+    # win on the canonical bench (TPU v5e, BASELINE.md round 3): 92.2 ->
+    # 88.3 ms/frame, identical ATE class -> default ON (brick layout only;
+    # bit-identical, tests/test_bricks.py::
+    # test_raycast_bricks_pair_taps_bit_identical).
+    raycast_pair_taps: bool = True
 
     # volume storage layout: "dense" = (X, Y, Z) arrays (reference
     # semantics, TsdfVolume.cpp:17-20); "brick" = persistent (NB, 512)
@@ -147,6 +151,30 @@ class SlamConfig:
     # turns such solves into ordinary rejected frames the next frame
     # recovers from.
     max_translation_per_frame: float = 0.0
+    # minimum fraction of model-map pixels that must survive the projective
+    # association gates (distThres/angleThres) in the final ICP iteration
+    # for the frame to count as aligned. 0 disables (reference parity: the
+    # reference accepts any well-conditioned solve regardless of support,
+    # KinectFusionReconstruction.cpp:203-210). Catches degenerate spins on
+    # near-empty associations — the failure mode sensor blackouts induce.
+    min_inlier_fraction: float = 0.0
+
+    # tracking-loss recovery (models/recovery.py::RecoveringEngine): after
+    # this many consecutive align failures, relocalize with the DCSFD
+    # Newton optimizer from the frozen pose and re-enter the frame at the
+    # recovered pose. 0 disables (plain-engine behaviour: the reference
+    # only freezes the pose, ProcessFrame, KinectFusionReconstruction.cpp:
+    # 150-154 — its relocalization kernels exist but are never driven,
+    # .cpp:374-436)
+    reloc_after_failures: int = 0
+    reloc_iters: int = 8
+    # minimum valid-voxel support for accepting a relocalization (rejects
+    # dropout/garbage frames whose loss is trivially small)
+    reloc_min_count: float = 500.0
+    # keyframe selection gates (m / degrees) for the keyframe log that
+    # feeds pose-graph refinement (models/recovery.py, models/ba.py)
+    keyframe_dist: float = 0.15
+    keyframe_angle_deg: float = 10.0
 
     @property
     def trunc_dist(self) -> float:

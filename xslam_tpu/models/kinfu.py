@@ -328,6 +328,18 @@ def process_frame(
         # frame 0 keeps the identity pose; a failed alignment keeps the
         # previous pose and skips integration (ProcessFrame:150-154)
         c2w_prev = se3.inverse(state.world2camera)
+        if config.min_inlier_fraction > 0:
+            # association-support gate: a solve resting on almost no valid
+            # correspondences is a degenerate spin, not a pose estimate —
+            # the det/NaN guard (KinectFusionReconstruction.cpp:203-210)
+            # cannot see this failure class (the system stays well-
+            # conditioned while sliding to a wild pose). Python-level
+            # branch: the traced HLO is unchanged when the knob is 0.
+            L = config.model_map_level
+            npix = (intr.height >> L) * (intr.width >> L)
+            align_ok = align_ok & (
+                inliers >= jnp.int32(int(config.min_inlier_fraction * npix))
+            )
         if config.max_translation_per_frame > 0:
             # physically-implausible motion -> same rejection semantics as
             # the det/NaN guard (see SlamConfig.max_translation_per_frame)

@@ -1,0 +1,229 @@
+"""Tracking-loss recovery and keyframing on top of the SLAM engine.
+
+The reference ships complete DCSFD relocalization kernels
+(``ComputeLocalTsdfHessianKernel``, TsdfFusion.cu:204-331) whose host entry
+points are commented out (``KinectFusionReconstruction.cpp:374-436``) — its
+only runtime failure handling is "freeze the pose and skip integration"
+(``ProcessFrame``, KinectFusionReconstruction.cpp:150-154). This module
+drives our live relocalizer (:mod:`xslam_tpu.models.relocalize`) from that
+same failure signal: after ``reloc_after_failures`` consecutive align
+failures the engine's frozen pose is used to seed a damped-Newton
+relocalization against the current TSDF map, and an accepted solution
+re-enters the pipeline as a pose-override frame (integration + model-map
+raycast at the recovered pose), so the next frame tracks from a re-acquired
+basin instead of a stale one.
+
+Keyframe selection (distance/angle-gated pose log) feeds the pose-graph
+refiner (:func:`xslam_tpu.models.ba.pose_graph_gn`): sequential odometry
+edges come from the engine's own pose estimates; loop-closure edges can be
+appended by callers (e.g. a successful relocalization far from the frozen
+pose is itself a loop-closure measurement).
+
+Everything here is host-side orchestration around the jitted per-frame step —
+the recovery path compiles lazily on first use, so the hot tracking loop's
+compiled program is untouched when recovery never triggers.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..geometry import se3
+from ..io.config import SlamConfig
+from .kinfu import FrameResult, SlamState, XSlamEngine
+
+
+class Keyframe(NamedTuple):
+    frame_index: int
+    camera2world: np.ndarray  # (4, 4)
+
+
+class RecoveryEvent(NamedTuple):
+    frame_index: int
+    accepted: bool
+    mean_loss_before: float
+    mean_loss_after: float
+    pose_jump_m: float
+
+
+class RecoveringEngine:
+    """``XSlamEngine`` wrapper adding keyframe logging and
+    relocalize-on-tracking-loss.
+
+    Drop-in for the plain engine's ``init_state``/``process_frame`` surface;
+    ``pose_log``/``keyframes``/``recovery_events`` record what happened.
+    """
+
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        self.engine = XSlamEngine(config)
+        self.intr = self.engine.intr
+        self.vol_cfg = self.engine.vol_cfg
+        self.pose_log: List[np.ndarray] = []
+        self.keyframes: List[Keyframe] = []
+        self.recovery_events: List[RecoveryEvent] = []
+        self._fail_streak = 0
+        self._frame_index = 0
+        self._reloc_fn = None
+
+    # -- lazy recovery machinery (compiled only if tracking ever fails) -----
+    def _relocalize(self, value_dense, depth_m, xi0):
+        import jax
+
+        from .relocalize import relocalize
+
+        if self._reloc_fn is None:
+            self._reloc_fn = jax.jit(
+                lambda val, dm, xi: relocalize(
+                    val, dm, xi, self.intr, self.vol_cfg,
+                    iters=self.config.reloc_iters,
+                )
+            )
+        return self._reloc_fn(value_dense, depth_m, xi0)
+
+    # -- keyframing ---------------------------------------------------------
+    def _maybe_keyframe(self, c2w: np.ndarray):
+        if not self.keyframes:
+            self.keyframes.append(Keyframe(self._frame_index, c2w))
+            return
+        last = self.keyframes[-1].camera2world
+        dt = float(np.linalg.norm(c2w[:3, 3] - last[:3, 3]))
+        cos = (np.trace(last[:3, :3].T @ c2w[:3, :3]) - 1.0) * 0.5
+        ang = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+        if dt > self.config.keyframe_dist or ang > self.config.keyframe_angle_deg:
+            self.keyframes.append(Keyframe(self._frame_index, c2w))
+
+    # -- the drop-in step ---------------------------------------------------
+    def init_state(self) -> SlamState:
+        return self.engine.init_state()
+
+    def dense_volume(self, state: SlamState):
+        return self.engine.dense_volume(state)
+
+    def process_frame(
+        self, state: SlamState, depth_u16, gt_pose: Optional[np.ndarray] = None
+    ) -> Tuple[SlamState, FrameResult]:
+        state, result = self.engine.process_frame(state, depth_u16, gt_pose)
+        align_ok = bool(np.asarray(result.align_ok))
+        if align_ok:
+            self._fail_streak = 0
+        else:
+            self._fail_streak += 1
+            if (
+                self.config.reloc_after_failures > 0
+                and self._fail_streak >= self.config.reloc_after_failures
+            ):
+                state, result = self._recover(state, depth_u16, result)
+
+        c2w = np.asarray(result.camera2world.v)
+        self.pose_log.append(c2w)
+        if bool(np.asarray(result.align_ok)):
+            self._maybe_keyframe(c2w)
+        self._frame_index += 1
+        return state, result
+
+    def _recover(
+        self, state: SlamState, depth_u16, failed: FrameResult
+    ) -> Tuple[SlamState, FrameResult]:
+        """Relocalize from the frozen pose, then re-enter the SAME frame
+        through the normal tracked step with the relocalized pose as the ICP
+        seed. The two optimizers have complementary basins: the DCSFD TSDF
+        loss pulls from up to ~trunc_dist/2 of pose error (beyond the
+        projective-ICP association gates) down to a few cm / a few degrees,
+        and ICP polishes from there. If the re-tracked step still fails, the
+        seed itself carries forward, so successive recovery frames descend
+        the TSDF loss incrementally — recovery iterates ACROSS frames.
+
+        The failed step left ``state`` untouched apart from the frame
+        counter (no integration, pose kept — ProcessFrame:150-154
+        semantics), so re-processing the same depth is sound."""
+        import jax.numpy as jnp
+
+        from ..csfd.single import lift
+        from ..ops import fusion
+
+        w2v = np.asarray(self.config.world2volume, np.float32)
+        frozen_c2w = np.asarray(failed.camera2world.v)
+        xi0 = se3.log_real(w2v @ frozen_c2w)
+
+        value_dense = self.engine.dense_volume(state).value
+        depth_m = fusion.scale_depth(jnp.asarray(depth_u16))
+        out = self._relocalize(value_dense, depth_m, jnp.asarray(xi0, np.float32))
+
+        means = np.asarray(out.loss_history)
+        count = float(np.asarray(out.count))
+        before, after = float(means[0]), float(means[-1])
+        # candidate gate: the Newton iteration must have actually descended
+        # on a non-trivial support (the relocalize() body's own coverage
+        # guard keeps `count` from collapsing); a dropout frame (count ~ 0)
+        # or a non-converging solve is rejected and the pose stays frozen
+        candidate = (
+            np.isfinite(after)
+            and count >= self.config.reloc_min_count
+            and after <= before * 0.97
+        )
+        c2w_rec = np.linalg.inv(w2v) @ np.asarray(se3.exp_real(out.xi))
+        jump = float(np.linalg.norm(c2w_rec[:3, 3] - frozen_c2w[:3, 3]))
+        if not candidate:
+            self.recovery_events.append(
+                RecoveryEvent(self._frame_index, False, before, after, jump)
+            )
+            return state, failed
+
+        # seed the tracked step at the relocalized pose (derivative lanes
+        # reset — the frozen pose's lanes are stale by construction) and
+        # re-run the frame: integration + model-map raycast happen iff the
+        # seeded ICP converges, exactly the normal-frame contract
+        seeded = state._replace(
+            world2camera=lift(jnp.asarray(se3.inverse_real(c2w_rec), jnp.float32))
+        )
+        state, result = self.engine.process_frame(seeded, depth_u16)
+        ok = bool(np.asarray(result.align_ok))
+        self.recovery_events.append(
+            RecoveryEvent(self._frame_index, ok, before, after, jump)
+        )
+        if ok:
+            self._fail_streak = 0
+            # a re-acquired pose far from the frozen one is a
+            # loop-closure-grade anchor for the pose graph
+            self.keyframes.append(
+                Keyframe(self._frame_index, np.asarray(result.camera2world.v))
+            )
+        return state, result
+
+    # -- pose-graph refinement over the keyframe log ------------------------
+    def refine_keyframes(
+        self,
+        loop_edges: Optional[List[Tuple[int, int, np.ndarray]]] = None,
+        iters: int = 10,
+    ):
+        """Gauss-Newton pose-graph refinement over the keyframe log.
+
+        Sequential odometry edges ``(k, k+1)`` are measured from the
+        engine's own estimates; ``loop_edges`` are optional extra
+        ``(i, j, T_i^-1 T_j)`` constraints (keyframe-list indices). Returns
+        the refined (K, 4, 4) camera2world poses (keyframe 0 gauge-fixed).
+        """
+        import jax.numpy as jnp
+
+        from .ba import pose_graph_gn
+
+        K = len(self.keyframes)
+        if K < 2:
+            return np.stack([k.camera2world for k in self.keyframes]) if K else np.zeros((0, 4, 4))
+        poses = [k.camera2world for k in self.keyframes]
+        xi = np.stack([se3.log_real(p) for p in poses]).astype(np.float32)
+        edges = [(k, k + 1) for k in range(K - 1)]
+        rel = [np.linalg.inv(poses[k]) @ poses[k + 1] for k in range(K - 1)]
+        for (i, j, T) in loop_edges or []:
+            edges.append((i, j))
+            rel.append(np.asarray(T, np.float32))
+        out = pose_graph_gn(
+            jnp.asarray(xi),
+            jnp.asarray(np.asarray(edges, np.int32)),
+            jnp.asarray(np.stack(rel).astype(np.float32)),
+            iters=iters,
+        )
+        return np.stack([np.asarray(se3.exp_real(x)) for x in np.asarray(out.poses)])
