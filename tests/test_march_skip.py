@@ -205,3 +205,74 @@ def test_hier2_e2e_tracking():
     est = normalize_to_first(engine.pose_log)
     gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
     assert ate_rmse(est, gt) < 0.06
+
+
+def test_hier2_brick_maps_envelope():
+    """Two-level hierarchical brick march (hier2_skip: quarter-res anchor ->
+    half-res repair -> full repair) agrees with the exact skip march on
+    >97% of pixels; common hits land on the same march-grid sample so the
+    refined vertices coincide."""
+    import jax.numpy as jnp
+
+    from xslam_tpu.ops import bricks, fusion_brick, raycast_bricks
+
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist, cfg.max_integration_weight
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(4, degrees_per_frame=2.0)
+    vol = bricks.create(vol_cfg)
+    integ = jax.jit(
+        lambda v, d, r, t: fusion_brick.integrate_rows(
+            v, d, r, t, SMALL_INTR, vol_cfg, cap=512
+        )[0]
+    )
+    for i in range(4):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32)))
+        v2c = se3.inverse(c2v)
+        vol = integ(vol, dm, se3.rotation(v2c), se3.translation(v2c))
+
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32)))
+    v2w = se3.inverse(lift(jnp.asarray(w2v)))
+    args = (
+        se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm_s, _ = jax.jit(
+        lambda v, a, b, c, d: raycast_bricks.raycast_bricks(
+            v, a, b, c, d, SMALL_INTR, vol_cfg,
+            normals_mode="screen", march_mode="skip",
+        )
+    )(vol, *args)
+    vm_h, _ = jax.jit(
+        lambda v, a, b, c, d: raycast_bricks.raycast_bricks(
+            v, a, b, c, d, SMALL_INTR, vol_cfg,
+            normals_mode="screen", march_mode="hier2_skip",
+        )
+    )(vol, *args)
+    ok_s = ~np.isnan(np.asarray(vm_s.v[0]))
+    ok_h = ~np.isnan(np.asarray(vm_h.v[0]))
+    assert ok_s.sum() > 5000
+    assert (ok_s == ok_h).mean() > 0.97
+    both = ok_s & ok_h
+    d = np.linalg.norm(np.asarray(vm_s.v)[:, both] - np.asarray(vm_h.v)[:, both], axis=0)
+    assert np.percentile(d, 99) < 1e-4
+
+
+def test_hier2_e2e_tracking():
+    cfg = small_config(
+        end_frame=6, volume_layout="brick", fusion_mode="brick",
+        raycast_march="hier2", raycast_normals="screen",
+    )
+    ds = small_dataset(6, degrees_per_frame=0.5)
+    engine = XSlamEngine(cfg)
+    state = engine.init_state()
+    for i in range(6):
+        state, res = engine.process_frame(state, ds.get_depth(i))
+        engine.log_pose(res)
+        assert bool(res.align_ok)
+    est = normalize_to_first(engine.pose_log)
+    gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
+    assert ate_rmse(est, gt) < 0.06

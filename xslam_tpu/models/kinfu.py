@@ -438,10 +438,12 @@ def process_frame(
         from ..ops import raycast_bricks
 
         # fixed/skip are event-identical -> "skip"; the hier modes map to
-        # the skip-anchored hierarchical march
-        brick_march = (
-            "skip" if config.raycast_march in ("fixed", "skip") else "hier_skip"
-        )
+        # the skip-anchored hierarchical marches
+        brick_march = {
+            "fixed": "skip", "skip": "skip",
+            "hier": "hier_skip", "hier_skip": "hier_skip",
+            "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
+        }[config.raycast_march]
         vmap0, nmap0 = raycast_bricks.raycast_bricks(
             volume, r_c2v, t_c2v, r_v2w, t_v2w, model_intr, vol_cfg,
             normals_mode=config.raycast_normals,

@@ -40,7 +40,7 @@ from .raycast import (
     screen_normals,
 )
 
-BRICK_MARCH_MODES = ("skip", "hier_skip")
+BRICK_MARCH_MODES = ("skip", "hier_skip", "hier2_skip")
 
 
 def _value_reader(plane, res):
@@ -325,6 +325,26 @@ def raycast_bricks_rays(
         hit = march_fn(
             None, None, ray_start, ray_dir, cfg,
             packed_read=packed_read, shape=res, jump_unit=skip_gran,
+        )
+    elif march_mode == "hier2_skip":
+        # two-level hierarchy (raycast.march_hier2 composed on brick
+        # readers): full-length skip march at QUARTER resolution, 12-step
+        # repair at half, ``hier_window``-step repair at full — roughly
+        # half the gather issues of hier_skip, same approximation class
+        # (silhouette events beyond a window are missed; gated downstream)
+        q_dir = CSFD(ray_dir.v[:, ::4, ::4], ray_dir.g[:, ::4, ::4])
+        coarse = march_skip(
+            None, None, ray_start, q_dir, cfg,
+            packed_read=packed_read, shape=res, jump_unit=skip_gran,
+        )
+        value_read = _value_reader(bvol.value, res)
+        mid = _window_repair(
+            None, ray_start, ray_dir.v[:, ::2, ::2], coarse, 12, cfg,
+            read_fn=value_read, shape=res,
+        )
+        hit = _window_repair(
+            None, ray_start, ray_dir.v, mid, hier_window, cfg,
+            read_fn=value_read, shape=res,
         )
     else:
         coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])

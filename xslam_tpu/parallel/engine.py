@@ -263,10 +263,12 @@ def _process_frame_sharded(
     model_intr = intr.level(config.model_map_level)
     if config.volume_layout == "brick":
         # fixed/skip are event-identical -> "skip"; the hier modes map to the
-        # skip-anchored hierarchical march (same mapping as models/kinfu.py)
-        brick_march = (
-            "skip" if config.raycast_march in ("fixed", "skip") else "hier_skip"
-        )
+        # skip-anchored hierarchical marches (same mapping as models/kinfu.py)
+        brick_march = {
+            "fixed": "skip", "skip": "skip",
+            "hier": "hier_skip", "hier_skip": "hier_skip",
+            "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
+        }[config.raycast_march]
         vmap0, nmap0 = sharded_raycast_bricks(
             volume, se3.rotation(c2v), se3.translation(c2v),
             se3.rotation(v2w), se3.translation(v2w), model_intr, vol_cfg, mesh,
