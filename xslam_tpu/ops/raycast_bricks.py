@@ -106,6 +106,92 @@ def interleave_vg(bvol: BrickVolume) -> jnp.ndarray:
     return jnp.stack([bvol.value, bvol.grad], axis=-1).reshape(-1, 2)
 
 
+def interleave_vg4(bvol: BrickVolume, res) -> jnp.ndarray:
+    """(NB*512, 4) quad table: row ``flat_index(res, x, y, z)`` holds
+    ``[v(z), g(z), v(z+1), g(z+1)]`` — the (z, z+1) tap pair of BOTH planes
+    in ONE 4-wide row gather. The z+1 entries come from a lane shift within
+    the brick row plus the bz+1 brick's z=0 lane (brick order is bz-fastest,
+    bricks.py::flat_index), so the pair is correct across brick boundaries;
+    rows whose z+1 would leave the volume are never consumed (the trilinear
+    base-cell mask bounds gz to [0, Z-2] for consumed pixels)."""
+    NB = bvol.value.shape[0]
+    v = bvol.value.reshape(NB, 64, 8)
+    g = bvol.grad.reshape(NB, 64, 8)
+    # z+1 = next lane; last lane (z=7) from the NEXT brick row's z=0 lane
+    # (wraps at the global last row — unconsumed by construction)
+    vn = jnp.roll(v, -1, axis=0)[:, :, :1]
+    gn = jnp.roll(g, -1, axis=0)[:, :, :1]
+    vz1 = jnp.concatenate([v[:, :, 1:], vn], axis=2)
+    gz1 = jnp.concatenate([g[:, :, 1:], gn], axis=2)
+    return jnp.stack([v, g, vz1, gz1], axis=-1).reshape(-1, 4)
+
+
+def trilinear_quad_bricks(
+    vg4: jnp.ndarray, res, px: CSFD, py: CSFD, pz: CSFD, voxel_size: float
+) -> CSFD:
+    """Dual trilinear TSDF interpolation from an :func:`interleave_vg4`
+    table: 4 row gathers per interpolation (one per (x, y) cell corner;
+    each row carries the (z, z+1) tap pair of both planes) — half of
+    :func:`trilinear_pair_bricks`'s 8 issues, a quarter of
+    :func:`trilinear_bricks`'s 16. Bit-identical on consumed pixels: the
+    base-cell mask (RayCaster.cu:100-113 semantics) keeps every tap of a
+    consumed pixel strictly in bounds, so the fetched f32 bits and the tap
+    summation order (same as :func:`trilinear_bricks`) are unchanged."""
+    X, Y, Z = res
+    inv_vs = 1.0 / voxel_size
+
+    gx = jnp.floor(px.v * inv_vs).astype(jnp.int32)
+    gy = jnp.floor(py.v * inv_vs).astype(jnp.int32)
+    gz = jnp.floor(pz.v * inv_vs).astype(jnp.int32)
+    ok = (
+        (gx > 0) & (gx < X - 1) & (gy > 0) & (gy < Y - 1) & (gz > 0) & (gz < Z - 1)
+    )
+
+    gx = gx - (px.v < (gx.astype(jnp.float32) + 0.5) * voxel_size)
+    gy = gy - (py.v < (gy.astype(jnp.float32) + 0.5) * voxel_size)
+    gz = gz - (pz.v < (gz.astype(jnp.float32) + 0.5) * voxel_size)
+
+    a0 = px * inv_vs - (gx.astype(jnp.float32) + 0.5)
+    b0 = py * inv_vs - (gy.astype(jnp.float32) + 0.5)
+    c0 = pz * inv_vs - (gz.astype(jnp.float32) + 0.5)
+    one = lift(1.0, like=a0)
+    a1, b1, c1 = one - a0, one - b0, one - c0
+
+    gzc = jnp.clip(gz, 0, Z - 1)
+
+    def tap_pair(dx, dy):
+        idx = bricks.flat_index(
+            res,
+            jnp.clip(gx + dx, 0, X - 1),
+            jnp.clip(gy + dy, 0, Y - 1),
+            gzc,
+        )
+        r = jnp.take(vg4, idx.reshape(-1), axis=0, mode="clip").reshape(
+            *jnp.shape(gx), 4
+        )
+        t0 = CSFD(r[..., 0] + 1e-5, r[..., 1])
+        t1 = CSFD(r[..., 2] + 1e-5, r[..., 3])
+        return t0, t1
+
+    p00_0, p00_1 = tap_pair(0, 0)
+    p01_0, p01_1 = tap_pair(0, 1)
+    p10_0, p10_1 = tap_pair(1, 0)
+    p11_0, p11_1 = tap_pair(1, 1)
+
+    out = (
+        p00_0 * (a1 * b1 * c1)
+        + p00_1 * (a1 * b1 * c0)
+        + p01_0 * (a1 * b0 * c1)
+        + p01_1 * (a1 * b0 * c0)
+        + p10_0 * (a0 * b1 * c1)
+        + p10_1 * (a0 * b1 * c0)
+        + p11_0 * (a0 * b0 * c1)
+        + p11_1 * (a0 * b0 * c0)
+    )
+    nan = jnp.float32(jnp.nan)
+    return CSFD(jnp.where(ok, out.v, nan), jnp.where(ok, out.g, 0.0))
+
+
 def trilinear_pair_bricks(
     vg: jnp.ndarray, res, px: CSFD, py: CSFD, pz: CSFD, voxel_size: float
 ) -> CSFD:
