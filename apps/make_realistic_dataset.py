@@ -1,23 +1,35 @@
-"""Render an ICL-NUIM-style on-disk dataset for end-to-end validation.
+"""Render a realistic on-disk dataset for end-to-end loader validation.
 
-The reference's canonical run is ICL-NUIM traj2 frames 0-300 through its
-file loader (``Experiments/test_xkinect_fusion/main.cpp:46-83``,
-``Dataset.cpp:69-125``). Datasets cannot be downloaded in this environment,
-so this renders a realistic stand-in with the SAME on-disk contract and
-feeds the real loader path end to end:
+The reference's canonical runs go through its two file loaders
+(``Experiments/test_xkinect_fusion/main.cpp:46-83``): ICL-NUIM
+(``Dataset.cpp:69-125``) and 7-Scenes (``Dataset.cpp:13-67``). Datasets
+cannot be downloaded in this environment, so this renders a realistic
+stand-in with the SAME on-disk contracts and feeds the real loader paths
+end to end:
 
+ICL format (``--format icl``, default):
 * 640x480 16-bit depth PNGs at ``depth/<i>.png``, values = mm * 5 (the ICL
   format factor the loader divides back out, ``Dataset.cpp:84``),
 * ``livingRoom1n.gt.sim`` ground-truth poses as 4-line blocks (3 matrix rows
-  + separator, ``Dataset.cpp:90-118``),
-* handheld trajectory with ICL-matched dynamics (0.1-0.5 m/s pans, rotation
-  bursts; ``io/synthetic.py::handheld_trajectory``) through the cluttered
-  room scene,
-* Kinect axial noise (sigma = frac * z^2) on top of mm quantization.
+  + separator, ``Dataset.cpp:90-118``).
+
+7-Scenes format (``--format 7scenes``):
+* ``seq-01/frame-XXXXXX.depth.png`` 16-bit mm depth (factor 1) +
+  ``frame-XXXXXX.pose.txt`` 4x4 camera-to-world blocks (``Dataset.cpp:
+  13-39``), Kinect intrinsics (fx = fy = 585),
+* ``info.txt`` multi-sequence info file: three whitespace rows — start
+  frames, end frames, sequence numbers (``Dataset.cpp:41-67``).
+
+Both use a handheld trajectory with sensor-realistic dynamics (rate-limited
+rotation, 0.1-0.5 m/s pans; ``io/synthetic.py::handheld_trajectory``)
+through the cluttered room scene, plus Kinect axial noise
+(sigma = frac * z^2) on top of mm quantization.
 
 Usage: python apps/make_realistic_dataset.py <out_dir> [n_frames] [noise]
+           [--format icl|7scenes]
 """
 
+import argparse
 import os
 import sys
 
@@ -27,13 +39,20 @@ import numpy as np
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "dataset/ICL_realistic"
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 301
-    noise = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0015
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="dataset/ICL_realistic")
+    ap.add_argument("n_frames", nargs="?", type=int, default=301)
+    ap.add_argument("noise", nargs="?", type=float, default=0.0015)
+    ap.add_argument("--format", choices=("icl", "7scenes"), default="icl")
+    args = ap.parse_args()
+    out_dir, n_frames, noise = args.out_dir, args.n_frames, args.noise
 
     from PIL import Image
 
-    from xslam_tpu.geometry.intrinsics import ICL_INTRINSICS
+    from xslam_tpu.geometry.intrinsics import (
+        ICL_INTRINSICS,
+        SEVEN_SCENES_INTRINSICS,
+    )
     from xslam_tpu.io.synthetic import (
         apply_sensor_model,
         cluttered_scene,
@@ -41,31 +60,53 @@ def main():
         render_depth,
     )
 
+    intr = ICL_INTRINSICS if args.format == "icl" else SEVEN_SCENES_INTRINSICS
+    png_factor = 5 if args.format == "icl" else 1
+
     scene = cluttered_scene()
     poses = handheld_trajectory(n_frames, seed=11)
-    depth_dir = os.path.join(out_dir, "depth")
-    os.makedirs(depth_dir, exist_ok=True)
+    if args.format == "icl":
+        frame_dir = os.path.join(out_dir, "depth")
+    else:
+        frame_dir = os.path.join(out_dir, "seq-01")
+    os.makedirs(frame_dir, exist_ok=True)
+
+    def png_path(i):
+        if args.format == "icl":
+            return os.path.join(frame_dir, f"{i}.png")
+        return os.path.join(frame_dir, f"frame-{i:06d}.depth.png")
 
     for i, c2w in enumerate(poses):
-        d_mm = render_depth(scene, c2w, ICL_INTRINSICS)
+        d_mm = render_depth(scene, c2w, intr)
         if noise > 0:
             rng = np.random.default_rng(np.random.SeedSequence([99, i]))
             d_mm = apply_sensor_model(d_mm, rng, noise)
-        # ICL PNG convention: value = mm * factor(5); loader divides by 5
-        png = np.clip(d_mm.astype(np.uint32) * 5, 0, 65535).astype(np.uint16)
-        Image.fromarray(png, mode="I;16").save(
-            os.path.join(depth_dir, f"{i}.png")
-        )
+        png = np.clip(
+            d_mm.astype(np.uint32) * png_factor, 0, 65535
+        ).astype(np.uint16)
+        Image.fromarray(png, mode="I;16").save(png_path(i))
+        if args.format == "7scenes":
+            np.savetxt(
+                os.path.join(frame_dir, f"frame-{i:06d}.pose.txt"),
+                c2w, fmt="%.9f",
+            )
         if i % 50 == 0:
             print(f"rendered {i}/{n_frames}")
 
-    # .gt.sim: per frame, rows 0-2 of the 3x4 [R|t] block then a blank line
-    with open(os.path.join(out_dir, "livingRoom1n.gt.sim"), "w") as f:
-        for c2w in poses:
-            for r in range(3):
-                f.write(" ".join(f"{x:.9f}" for x in c2w[r, :4]) + "\n")
-            f.write("\n")
-    print(f"wrote {n_frames} frames to {out_dir}")
+    if args.format == "icl":
+        # .gt.sim: per frame, rows 0-2 of the 3x4 [R|t] block then a blank line
+        with open(os.path.join(out_dir, "livingRoom1n.gt.sim"), "w") as f:
+            for c2w in poses:
+                for r in range(3):
+                    f.write(" ".join(f"{x:.9f}" for x in c2w[r, :4]) + "\n")
+                f.write("\n")
+    else:
+        # info file: start frames / end frames / sequence numbers
+        with open(os.path.join(out_dir, "info.txt"), "w") as f:
+            f.write("0\n")
+            f.write(f"{n_frames - 1}\n")
+            f.write("01\n")
+    print(f"wrote {n_frames} {args.format} frames to {out_dir}")
 
 
 if __name__ == "__main__":

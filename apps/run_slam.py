@@ -72,18 +72,22 @@ def main():
         from xslam_tpu.parallel.engine import ShardedXSlamEngine
 
         engine = ShardedXSlamEngine(config)
-    elif config.reloc_after_failures > 0:
-        # relocalize-on-tracking-loss + keyframing wrapper (the recovery
-        # path the reference's commented-out relocalization wrappers imply,
-        # KinectFusionReconstruction.cpp:374-436)
-        from xslam_tpu.models.recovery import RecoveringEngine
-
-        engine = RecoveringEngine(config)
-        engine_logs_poses = True  # RecoveringEngine appends to pose_log itself
     else:
         from xslam_tpu.models.kinfu import XSlamEngine
 
         engine = XSlamEngine(config)
+    if config.reloc_after_failures > 0:
+        # relocalize-on-tracking-loss + keyframing wrapper (the recovery
+        # path the reference's commented-out relocalization wrappers imply,
+        # KinectFusionReconstruction.cpp:374-436) — engine-agnostic, wraps
+        # the sharded engine too
+        from xslam_tpu.models.recovery import RecoveringEngine
+
+        engine = RecoveringEngine(config, engine=engine)
+        engine_logs_poses = True  # RecoveringEngine appends to pose_log itself
+        if args.scan > 1:
+            print("note: --scan is incompatible with recovery (per-frame "
+                  "host inspection); using the per-frame loop")
     state = engine.init_state()
 
     out_dir = config.output_dir
@@ -108,7 +112,7 @@ def main():
             # it; "dense" recovery re-integrates and never sets the flag
             print(f"frame {i}: fusion brick-cap overflow (map update partial)")
 
-    if args.scan > 1 and not args.sharded and not engine_logs_poses:
+    if args.scan > 1 and not engine_logs_poses:
         import jax.numpy as jnp
 
         K = args.scan
@@ -179,6 +183,23 @@ def main():
     gt_poses = [dataset.get_pose(fid) for fid in frame_ids]
     ate = ate_rmse(normalize_to_first(engine.pose_log), normalize_to_first(gt_poses))
     print(f"ATE RMSE = {ate:.5f} m")
+
+    # backend refinement: pose-graph (+ recorded loop closures) + depth-
+    # anchored Schur BA over the keyframe log, propagated to the full
+    # trajectory and exported alongside the odometry
+    if engine_logs_poses and len(getattr(engine, "keyframes", [])) >= 2:
+        refined = engine.refine_trajectory()
+        if config.log_slam_pose:
+            for i, fid in enumerate(frame_ids[: len(refined)]):
+                save_pose(os.path.join(out_dir, "slam_refined"), fid, refined[i])
+        ate_ref = ate_rmse(
+            normalize_to_first(list(refined)), normalize_to_first(gt_poses)
+        )
+        print(
+            f"refined ATE RMSE = {ate_ref:.5f} m "
+            f"({len(engine.keyframes)} keyframes, "
+            f"{len(engine.loop_edges)} loop closures)"
+        )
 
 
 if __name__ == "__main__":

@@ -457,3 +457,51 @@ def test_raycast_bricks_pair_taps_bit_identical():
     np.testing.assert_array_equal(np.asarray(vm_ref.g), np.asarray(vm_fast.g))
     np.testing.assert_array_equal(np.asarray(nm_ref.v), np.asarray(nm_fast.v))
     np.testing.assert_array_equal(np.asarray(nm_ref.g), np.asarray(nm_fast.g))
+
+
+def test_raycast_bricks_quad_taps_bit_identical():
+    """The full brick raycast with quad_taps on/off must emit identical
+    model maps (the interleave_vg4 table only reroutes the refinement
+    gathers; its z+1 lane pairing across brick boundaries exploits the
+    bz-fastest row order — this pins that claim)."""
+    cfg, vol_cfg, w2v, ds, _, brick = _fused_states(3)
+    pose = jnp.asarray(ds.get_pose(2), jnp.float32)
+    c2v = se3.matmul(lift(jnp.asarray(w2v)), lift(pose))
+    v2w = lift(jnp.asarray(np.linalg.inv(w2v), jnp.float32))
+    intr1 = SMALL_INTR.level(1)
+    args = (
+        brick, se3.rotation(c2v), se3.translation(c2v),
+        se3.rotation(v2w), se3.translation(v2w),
+    )
+    vm_ref, nm_ref = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=False,
+        )
+    )(*args)
+    vm_fast, nm_fast = jax.jit(
+        lambda *a: raycast_bricks.raycast_bricks(
+            *a, intr1, vol_cfg,
+            normals_mode="screen", march_mode="skip", packed_taps=False,
+            quad_taps=True,
+        )
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(vm_ref.v), np.asarray(vm_fast.v))
+    np.testing.assert_array_equal(np.asarray(vm_ref.g), np.asarray(vm_fast.g))
+    np.testing.assert_array_equal(np.asarray(nm_ref.v), np.asarray(nm_fast.v))
+    np.testing.assert_array_equal(np.asarray(nm_ref.g), np.asarray(nm_fast.g))
+
+
+def test_interleave_vg4_rows():
+    """interleave_vg4 row semantics: row flat_index(res,x,y,z) holds
+    [v(z), g(z), v(z+1), g(z+1)] including across brick boundaries."""
+    rng = np.random.default_rng(3)
+    res = (16, 16, 16)
+    v = rng.normal(size=res).astype(np.float32)
+    g = rng.normal(size=res).astype(np.float32)
+    brick = bricks.from_dense(jnp.asarray(v), jnp.asarray(g), jnp.asarray(v))
+    vg4 = np.asarray(raycast_bricks.interleave_vg4(brick, res))
+    for (x, y, z) in [(0, 0, 0), (3, 5, 6), (3, 5, 7), (8, 9, 7), (15, 15, 14)]:
+        row = vg4[int(np.asarray(bricks.flat_index(res, x, y, z)))]
+        assert row[0] == v[x, y, z] and row[1] == g[x, y, z]
+        assert row[2] == v[x, y, z + 1] and row[3] == g[x, y, z + 1]

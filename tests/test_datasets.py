@@ -150,3 +150,42 @@ def test_handheld_trajectory_dynamics_are_sensor_realistic():
     for i in (0, 150, 300):
         r = gt[i][:3, :3]
         assert np.allclose(r @ r.T, np.eye(3), atol=1e-9)
+
+
+def test_make_realistic_7scenes_roundtrip(tmp_path):
+    """The realistic-dataset generator's 7-Scenes mode must emit exactly
+    what SevenScenesDataset (Dataset.cpp:13-67 semantics) consumes:
+    seq-01/frame-XXXXXX.depth.png (mm, factor 1) + .pose.txt + info.txt."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "7s")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "apps/make_realistic_dataset.py"),
+         out, "3", "0.0", "--format", "7scenes"],
+        capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "info.txt"))
+    assert os.path.exists(os.path.join(out, "seq-01", "frame-000002.depth.png"))
+
+    from xslam_tpu.io.dataset import SevenScenesDataset
+    from xslam_tpu.io.synthetic import (
+        cluttered_scene, handheld_trajectory, render_depth,
+    )
+    from xslam_tpu.geometry.intrinsics import SEVEN_SCENES_INTRINSICS
+
+    ds = SevenScenesDataset.from_info_file(out, os.path.join(out, "info.txt"))
+    assert len(ds) == 3
+    # poses round-trip exactly (savetxt %.9f)
+    gt = handheld_trajectory(3, seed=11)
+    for i in range(3):
+        np.testing.assert_allclose(ds.get_pose(i), gt[i], atol=1e-8)
+    # depth round-trips through the 16-bit PNG at factor 1 (mm exact)
+    d = ds.get_depth(2)
+    ref = render_depth(cluttered_scene(), gt[2], SEVEN_SCENES_INTRINSICS)
+    np.testing.assert_array_equal(
+        np.asarray(d), np.clip(ref.astype(np.uint32), 0, 65535).astype(np.uint16)
+    )

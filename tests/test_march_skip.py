@@ -261,7 +261,7 @@ def test_hier2_brick_maps_envelope():
     assert np.percentile(d, 99) < 1e-4
 
 
-def test_hier2_e2e_tracking():
+def test_hier2_brick_e2e_tracking():
     cfg = small_config(
         end_frame=6, volume_layout="brick", fusion_mode="brick",
         raycast_march="hier2", raycast_normals="screen",

@@ -109,3 +109,30 @@ def test_keyframes_and_pose_graph():
     # the estimates' relative poses)
     for kf, T in zip(eng.keyframes, refined):
         assert float(np.linalg.norm(kf.camera2world[:3, 3] - T[:3, 3])) < 1e-3
+
+
+def test_recovery_wraps_sharded_engine():
+    """RecoveringEngine is engine-agnostic: wrapping the multi-chip engine
+    (8-virtual-device CPU mesh) must re-acquire after the same blackout the
+    single-chip recovery test uses — `run_slam.py --sharded` with
+    reloc_after_failures > 0 gets real recovery, not a silent no-op."""
+    import jax
+
+    from xslam_tpu.parallel.engine import ShardedXSlamEngine
+
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    ds = small_dataset(n_frames=12, degrees_per_frame=2.5)
+    seq = _blackout_seq(ds)
+    cfg = _cfg(reloc_after=2)
+    eng = RecoveringEngine(cfg, engine=ShardedXSlamEngine(cfg, n_devices=8))
+    state = eng.init_state()
+    for _, depth in seq:
+        state, _ = eng.process_frame(state, depth)
+    est = normalize_to_first(eng.pose_log)
+    errs = _errs_mm(est, ds, seq)
+    descended = [
+        e for e in eng.recovery_events
+        if e.mean_loss_before > 0 and e.mean_loss_after < 0.5 * e.mean_loss_before
+    ]
+    assert descended, f"no descending relocalization: {eng.recovery_events}"
+    assert errs[-1] < 60.0, f"end error {errs[-1]:.0f} mm: {errs}"

@@ -178,3 +178,89 @@ def test_sharded_hier_bench_config_matches_single():
         assert bool(p_res.align_ok)
     sw, pw = np.asarray(s_state.volume.weight), np.asarray(p_state.volume.weight)
     assert (sw != pw).mean() < 2e-3
+
+
+def test_config_surface_parity_single_vs_sharded():
+    """Fail-fast contract (SURVEY §2.E): the multi-chip engine is a declared
+    deployment path and must honor the SAME SlamConfig surface as the
+    single-chip engine. Source-level check: every ``config.<knob>`` the
+    single-chip step module reads, the sharded step module reads too (and
+    vice versa) — a knob silently ignored by one engine is exactly the bug
+    class this pins (e.g. round-3's min_inlier_fraction no-op)."""
+    import pathlib
+    import re
+
+    import xslam_tpu.models.kinfu as kinfu_mod
+    import xslam_tpu.parallel.engine as sharded_mod
+    from xslam_tpu.io.config import SlamConfig
+
+    def knobs(mod):
+        text = pathlib.Path(mod.__file__).read_text()
+        return set(re.findall(r"\bconfig\.([a-z_]+)\b", text))
+
+    fields = set(vars(SlamConfig()).keys()) | {
+        "trunc_dist", "angle_thres_sine", "intrinsics", "world2volume"
+    }
+    single = knobs(kinfu_mod) & fields
+    sharded = knobs(sharded_mod) & fields
+    assert single == sharded, (
+        f"config knobs read by only one engine: "
+        f"single-only={sorted(single - sharded)}, "
+        f"sharded-only={sorted(sharded - single)}"
+    )
+
+
+def test_sharded_min_inlier_gate_matches_single():
+    """min_inlier_fraction must gate the sharded step identically to the
+    single-chip step (round-3 verdict: it was a silent no-op on --sharded).
+    An absurdly high support requirement rejects every post-first frame on
+    BOTH engines; the knob off accepts on both."""
+    ds = small_dataset(3, degrees_per_frame=0.5)
+    for fraction, expect_ok in ((0.999, False), (0.0, True)):
+        cfg = small_config(end_frame=3, min_inlier_fraction=fraction)
+        single = XSlamEngine(cfg)
+        s_state = single.init_state()
+        sharded = ShardedXSlamEngine(cfg, n_devices=8)
+        p_state = sharded.init_state()
+        for i in range(3):
+            d = ds.get_depth(i)
+            s_state, s_res = single.process_frame(s_state, d)
+            p_state, p_res = sharded.process_frame(p_state, d)
+            assert bool(s_res.align_ok) == bool(p_res.align_ok)
+            if i > 0:
+                assert bool(p_res.align_ok) == expect_ok
+            # rejected frames freeze the pose identically on both engines
+            np.testing.assert_allclose(
+                np.asarray(s_res.camera2world.v),
+                np.asarray(p_res.camera2world.v), atol=1e-3,
+            )
+
+
+def test_sharded_process_frames_scan_matches_loop():
+    """The sharded engine's one-dispatch lax.scan multi-frame entry must
+    reproduce its per-frame loop (same contract as the single-chip
+    test_process_frames_scan_matches_loop)."""
+    n = 4
+    ds = small_dataset(n, degrees_per_frame=0.5)
+    cfg = small_config(
+        end_frame=n, volume_layout="brick", fusion_mode="brick",
+        fusion_brick_cap=6144, raycast_march="skip", raycast_normals="screen",
+        model_map_level=1, icp_fixed_assoc=True, num_levels=2,
+    )
+    loop = ShardedXSlamEngine(cfg, n_devices=8)
+    st = loop.init_state()
+    poses_loop = []
+    for i in range(n):
+        st, res = loop.process_frame(st, ds.get_depth(i))
+        poses_loop.append(np.asarray(res.camera2world.v))
+
+    scan = ShardedXSlamEngine(cfg, n_devices=8)
+    st2 = scan.init_state()
+    depths = jnp.stack([jnp.asarray(ds.get_depth(i)) for i in range(n)])
+    st2, res = scan.process_frames(st2, depths)
+    poses_scan = np.asarray(res.camera2world.v)
+    assert poses_scan.shape == (n, 4, 4)
+    assert bool(np.asarray(res.align_ok).all())
+    np.testing.assert_array_equal(poses_loop[0], poses_scan[0])
+    for i in range(1, n):
+        np.testing.assert_allclose(poses_loop[i], poses_scan[i], atol=2e-3)

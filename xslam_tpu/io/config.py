@@ -99,6 +99,14 @@ class SlamConfig:
     # bit-identical, tests/test_bricks.py::
     # test_raycast_bricks_pair_taps_bit_identical).
     raycast_pair_taps: bool = True
+    # fetch each refinement trilinear cell's (z, z+1) tap pair of BOTH
+    # planes as ONE 4-wide row gather from an interleave_vg4 quad table
+    # (4 gather issues per dual trilinear — half of pair taps' 8;
+    # bit-identical, tests/test_bricks.py). The z+1 lane pairing exploits
+    # the bz-fastest brick-row order (ops/raycast_bricks.py::
+    # interleave_vg4), so the build is roll+concat+interleave, no
+    # neighbour stitching. Takes precedence over raycast_pair_taps.
+    raycast_quad_taps: bool = False
 
     # volume storage layout: "dense" = (X, Y, Z) arrays (reference
     # semantics, TsdfVolume.cpp:17-20); "brick" = persistent (NB, 512)

@@ -95,14 +95,149 @@ def pose_graph_gn(
 
 
 # ---------------------------------------------------------------------------
+def build_ba_problem(
+    kf_c2w,
+    kf_depths_u16,
+    intr,
+    stride: int = 8,
+    match_dist: float = 0.15,
+    min_obs: int = 2,
+    z_range: Tuple[float, float] = (0.2, 5.0),
+):
+    """Derive a depth-reprojection :class:`BAProblem` from LIVE keyframe
+    sensor data — the bridge between the SLAM front end and the distributed
+    backend (no reference counterpart; SURVEY §2.E north star).
+
+    Anchors: every ``stride``-th valid depth pixel of every keyframe,
+    back-projected to world at the keyframe's (estimated) pose. Observations:
+    keyframe ``j`` observes anchor ``a`` if the anchor projects inside
+    ``j``'s image onto a valid depth pixel whose back-projection lies within
+    ``match_dist`` of the anchor in camera space (projective data
+    association — the same principle as the front end's ICP association,
+    ICP.cu:196-244, applied keyframe-to-keyframe). Only anchors seen from
+    >= ``min_obs`` keyframes survive (single-view anchors constrain nothing).
+
+    Host-side numpy (problem construction is per-refinement, not per-frame).
+    Returns ``(problem, anchors_init)`` or ``(None, None)`` if no multi-view
+    anchors exist.
+    """
+    K = len(kf_c2w)
+    fx, fy, cx, cy = intr.fx, intr.fy, intr.cx, intr.cy
+    H, W = np.asarray(kf_depths_u16[0]).shape
+
+    def backproject(depth_m, us, vs):
+        z = depth_m[vs, us]
+        return np.stack(
+            [z * (us - cx) / fx, z * (vs - cy) / fy, z], axis=-1
+        )
+
+    depths_m = []
+    for d in kf_depths_u16:
+        d = np.asarray(d, np.float32)
+        m = d / 1000.0
+        m[(m < z_range[0]) | (m > z_range[1])] = 0.0
+        depths_m.append(m)
+
+    # camera-space vertex + normal maps (numpy twin of preprocess.create_vmap/
+    # create_nmap) — normals feed the point-to-plane residuals
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    normal_maps = []
+    for m in depths_m:
+        vm = np.stack([m * (uu - cx) / fx, m * (vv - cy) / fy, m], axis=-1)
+        vm[m == 0] = np.nan
+        a = np.full_like(vm, np.nan)
+        b = np.full_like(vm, np.nan)
+        a[:, :-1] = vm[:, 1:] - vm[:, :-1]  # right neighbour
+        b[:-1, :] = vm[1:, :] - vm[:-1, :]  # down neighbour
+        n = np.cross(a, b)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        with np.errstate(invalid="ignore"):
+            n = n / norm
+        normal_maps.append(n)
+
+    # candidate anchors from each keyframe's subsampled vertex map
+    anchors_world = []
+    anchor_src = []  # keyframe that spawned the anchor
+    vs_g, us_g = np.mgrid[stride // 2:H:stride, stride // 2:W:stride]
+    us_g, vs_g = us_g.ravel(), vs_g.ravel()
+    for k in range(K):
+        z = depths_m[k][vs_g, us_g]
+        ok = z > 0
+        pc = backproject(depths_m[k], us_g[ok], vs_g[ok])  # (n, 3) cam
+        T = np.asarray(kf_c2w[k], np.float64)
+        pw = pc @ T[:3, :3].T + T[:3, 3]
+        anchors_world.append(pw)
+        anchor_src.append(np.full(pw.shape[0], k))
+    anchors_world = np.concatenate(anchors_world, axis=0)
+    anchor_src = np.concatenate(anchor_src, axis=0)
+    A = anchors_world.shape[0]
+    if A == 0:
+        return None, None
+
+    # observations: project every anchor into every keyframe, associate
+    # against the measured depth
+    obs_frame, obs_anchor, obs_meas, obs_normal = [], [], [], []
+    for j in range(K):
+        T = np.asarray(kf_c2w[j], np.float64)
+        Rw2c, tw2c = T[:3, :3].T, -T[:3, :3].T @ T[:3, 3]
+        pc = anchors_world @ Rw2c.T + tw2c  # (A, 3) in cam j
+        z = pc[:, 2]
+        ok = z > z_range[0]
+        u = np.full(A, -1.0)
+        v = np.full(A, -1.0)
+        u[ok] = pc[ok, 0] * fx / z[ok] + cx
+        v[ok] = pc[ok, 1] * fy / z[ok] + cy
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        ok &= (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        ui, vi = np.clip(ui, 0, W - 1), np.clip(vi, 0, H - 1)
+        meas = backproject(depths_m[j], ui, vi)  # measured surface point
+        ok &= meas[:, 2] > 0
+        ok &= np.linalg.norm(meas - pc, axis=-1) < match_dist
+        nrm = normal_maps[j][vi, ui]
+        ok &= np.isfinite(nrm).all(axis=-1)
+        idx = np.nonzero(ok)[0]
+        obs_frame.append(np.full(idx.shape[0], j))
+        obs_anchor.append(idx)
+        obs_meas.append(meas[idx])
+        obs_normal.append(nrm[idx])
+    obs_frame = np.concatenate(obs_frame)
+    obs_anchor = np.concatenate(obs_anchor)
+    obs_meas = np.concatenate(obs_meas, axis=0)
+    obs_normal = np.concatenate(obs_normal, axis=0)
+
+    # keep anchors observed from >= min_obs DISTINCT keyframes
+    counts = np.bincount(obs_anchor, minlength=A)
+    keep = counts >= min_obs
+    if not keep.any():
+        return None, None
+    remap = -np.ones(A, np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    sel = keep[obs_anchor]
+    problem = BAProblem(
+        frame_idx=jnp.asarray(obs_frame[sel], jnp.int32),
+        anchor_idx=jnp.asarray(remap[obs_anchor[sel]], jnp.int32),
+        meas_cam=jnp.asarray(obs_meas[sel], jnp.float32),
+        meas_normal=jnp.asarray(obs_normal[sel], jnp.float32),
+    )
+    return problem, anchors_world[keep].astype(np.float32)
+
+
 class BAProblem(NamedTuple):
     """Depth-reprojection BA: observation o says anchor ``anchor_idx[o]``
     seen from keyframe ``frame_idx[o]`` at camera-space position
-    ``meas_cam[o]`` (back-projected measured depth)."""
+    ``meas_cam[o]`` (back-projected measured depth). When ``meas_normal``
+    is present (camera-space surface normal at the measured pixel) the
+    residual is point-to-plane + a down-weighted point-to-point term —
+    insensitive to the half-pixel lateral association error that floors
+    pure point-to-point on projective associations (same reason the front
+    end's ICP is point-to-plane, ICP.cu:256-259)."""
 
     frame_idx: jnp.ndarray  # (N,) int32
     anchor_idx: jnp.ndarray  # (N,) int32
     meas_cam: jnp.ndarray  # (N, 3)
+    meas_normal: Optional[jnp.ndarray] = None  # (N, 3) or None
 
 
 class BAResult(NamedTuple):
@@ -117,6 +252,27 @@ def _obs_residual(xi, p, meas_cam):
     w2c_R = T[:3, :3].T
     w2c_t = -w2c_R @ T[:3, 3]
     return w2c_R @ p + w2c_t - meas_cam
+
+
+# down-weight of the point-to-point regularizer in the plane residual: the
+# plane term carries the pose information; the point term only keeps each
+# anchor's tangential position observable (Hll would be rank-1 per
+# observation otherwise)
+_POINT_WEIGHT = 0.2
+
+
+def _obs_residual_plane(xi, p, meas_cam, meas_normal):
+    """(4,) residual: point-to-plane distance + down-weighted point term."""
+    d = _obs_residual(xi, p, meas_cam)
+    return jnp.concatenate([jnp.sum(meas_normal * d)[None], _POINT_WEIGHT * d])
+
+
+def _residual_fn(problem):
+    if problem.meas_normal is None:
+        return lambda xi, p, o: _obs_residual(xi, p, problem.meas_cam[o])
+    return lambda xi, p, o: _obs_residual_plane(
+        xi, p, problem.meas_cam[o], problem.meas_normal[o]
+    )
 
 
 def schur_ba(
@@ -144,15 +300,17 @@ def schur_ba(
     def reduce_(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    res = _residual_fn(problem)
+
     def build(poses, anchors):
         def one(o):
             k = problem.frame_idx[o]
             l = problem.anchor_idx[o]
             xi = poses[k]
             p = anchors[l]
-            r = _obs_residual(xi, p, problem.meas_cam[o])
-            Jc = jax.jacfwd(lambda x: _obs_residual(x, p, problem.meas_cam[o]))(xi)
-            Jl = jax.jacfwd(lambda q: _obs_residual(xi, q, problem.meas_cam[o]))(p)
+            r = res(xi, p, o)
+            Jc = jax.jacfwd(lambda x: res(x, p, o))(xi)
+            Jl = jax.jacfwd(lambda q: res(xi, q, o))(p)
             return k, l, r, Jc, Jl
 
         ks, ls, rs, Jcs, Jls = jax.vmap(one)(jnp.arange(N))
@@ -253,6 +411,8 @@ def schur_ba_cg(
         [jnp.zeros((1, 6), jnp.float32), jnp.ones((K - 1, 6), jnp.float32)]
     )
 
+    res = _residual_fn(problem)
+
     def body(carry, _):
         poses, anchors = carry
 
@@ -261,9 +421,9 @@ def schur_ba_cg(
             l = ls[o]
             xi = poses[k]
             p = anchors[l]
-            r = _obs_residual(xi, p, problem.meas_cam[o])
-            Jc = jax.jacfwd(lambda x: _obs_residual(x, p, problem.meas_cam[o]))(xi)
-            Jl = jax.jacfwd(lambda q: _obs_residual(xi, q, problem.meas_cam[o]))(p)
+            r = res(xi, p, o)
+            Jc = jax.jacfwd(lambda x: res(x, p, o))(xi)
+            Jl = jax.jacfwd(lambda q: res(xi, q, o))(p)
             return r, Jc, Jl
 
         rs, Jcs, Jls = jax.vmap(one)(jnp.arange(N))

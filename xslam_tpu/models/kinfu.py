@@ -123,6 +123,7 @@ class XSlamEngine:
         state: SlamState,
         depths_u16: jnp.ndarray,
         gt_poses: Optional[np.ndarray] = None,
+        unroll: bool = False,
     ) -> Tuple[SlamState, FrameResult]:
         """Track + fuse a (K, H, W) stack of frames in ONE device dispatch:
         ``lax.scan`` of the per-frame step with the SLAM state as carry.
@@ -142,7 +143,7 @@ class XSlamEngine:
         K = depths_u16.shape[0]
         if gt_poses is None:
             gt_poses = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4))
-        key = (K,) + tuple(depths_u16.shape[1:])
+        key = (K, unroll) + tuple(depths_u16.shape[1:])
         if not hasattr(self, "_scan_steps"):
             self._scan_steps = {}
         if key not in self._scan_steps:
@@ -160,7 +161,11 @@ class XSlamEngine:
                     s2, res = step(s, d, g)
                     return s2, res
 
-                return jax.lax.scan(body, state, (depths, gts))
+                # unroll=K hands XLA K copies of the step body instead of a
+                # while loop — same one-dispatch amortization, none of the
+                # loop-context pessimization (HLO ~K× larger, compile slower)
+                return jax.lax.scan(body, state, (depths, gts),
+                                    unroll=K if unroll else 1)
 
             self._scan_steps[key] = jax.jit(run, donate_argnums=(0,))
         return self._scan_steps[key](
@@ -453,6 +458,7 @@ def process_frame(
             skip_gran=config.raycast_skip_gran,
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
+            quad_taps=config.raycast_quad_taps,
         )
     else:
         vmap0, nmap0 = raycast.raycast(

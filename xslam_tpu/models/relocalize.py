@@ -128,4 +128,18 @@ def relocalize(
     (xi, _), (losses, counts) = jax.lax.scan(
         body, (jnp.asarray(xi0, jnp.float32), jnp.float32(damping)), None, length=iters
     )
-    return RelocResult(xi=xi, loss_history=losses, count=counts[-1])
+    # close the history with the loss AT the returned xi: the scan records
+    # the mean at the START of each iteration, so losses[-1] describes the
+    # pose before the final accepted step; callers gate acceptance on
+    # history[-1] vs history[0] and must see the actual returned pose
+    from ..ops.tsdf_loss import tsdf_loss
+
+    c2v = se3.exp_real(xi)
+    v2c = se3.inverse_real(c2v)
+    final = tsdf_loss(gt_value, depth_m, v2c[:3, :3], v2c[:3, 3], intr, cfg)
+    mean_final = final.loss / jnp.maximum(final.count, 1)
+    return RelocResult(
+        xi=xi,
+        loss_history=jnp.concatenate([losses, mean_final[None]]),
+        count=final.count,
+    )

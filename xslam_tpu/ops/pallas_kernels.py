@@ -10,12 +10,19 @@ on-chip memory.
 Semantically identical to the jnp reference implementation (golden-tested,
 including the reference's window edge clamping quirks).
 
-Status: validated in interpreter mode; the real-TPU Mosaic compile on this
-environment's toolchain rejects the unaligned sublane slices of the sliding
-window ("result/input offset mismatch on non-concat dimension"), so the
-production pipeline uses the jnp implementation (measured ~25-35 ms at
-640x480 — XLA fuses the 169-tap accumulation well). Revisit when the
-toolchain gains unaligned-slice support.
+Status: TOOLCHAIN-REGRESSION CANARY, not a production path. Validated in
+interpreter mode; the real-TPU Mosaic compile on this environment's
+toolchain rejects the unaligned sublane slices of the sliding window
+("result/input offset mismatch on non-concat dimension" — the same
+capability class as the measured probe results in
+``apps/probe_pallas_gather.py`` / BASELINE.md round 3), so the production
+pipeline uses the jnp implementation (measured ~25-35 ms at 640x480 — XLA
+fuses the 169-tap accumulation well). This file and its interpreter-mode
+golden test (``tests/test_pallas_kernels.py``) are kept deliberately: when
+a toolchain upgrade makes the Mosaic compile succeed, the canary flags
+that windowed Pallas kernels became viable and the bilateral/march paths
+should be re-evaluated. It must NOT be counted as a production Pallas
+deliverable.
 """
 
 from __future__ import annotations
@@ -108,7 +115,7 @@ def bilateral_filter_pallas(depth_u16: jnp.ndarray, interpret: bool = False) -> 
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((blk_h, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         interpret=interpret,

@@ -341,6 +341,7 @@ def raycast_bricks(
     skip_gran: int = 8,
     compact: bool = False,
     pair_taps: bool = False,
+    quad_taps: bool = False,
 ) -> Tuple[CSFD, CSFD]:
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
@@ -350,7 +351,9 @@ def raycast_bricks(
     through a :func:`pack_vg_z9` row table (4 row gathers per dual trilinear
     instead of 16 scalar gathers, bit-identical). ``pair_taps``: refine
     through an :func:`interleave_vg` pair table (8 two-wide row gathers,
-    bit-identical; takes precedence over ``packed_taps``)."""
+    bit-identical; takes precedence over ``packed_taps``). ``quad_taps``:
+    refine through an :func:`interleave_vg4` quad table (4 four-wide row
+    gathers, bit-identical; takes precedence over both)."""
     if march_mode not in BRICK_MARCH_MODES:
         raise ValueError(
             f"unknown brick march_mode {march_mode!r}; expected one of {BRICK_MARCH_MODES}"
@@ -361,6 +364,7 @@ def raycast_bricks(
         normals_mode=normals_mode, march_mode=march_mode,
         hier_window=hier_window, packed_taps=packed_taps,
         skip_gran=skip_gran, compact=compact, pair_taps=pair_taps,
+        quad_taps=quad_taps,
     )
 
 
@@ -380,6 +384,7 @@ def raycast_bricks_rays(
     skip_gran: int = 8,
     compact: bool = False,
     pair_taps: bool = False,
+    quad_taps: bool = False,
 ) -> Tuple[CSFD, CSFD]:
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
@@ -445,7 +450,15 @@ def raycast_bricks_rays(
 
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
 
-    if pair_taps:
+    if quad_taps:
+        vg4 = interleave_vg4(bvol, res)
+
+        def trilin_at(p: CSFD) -> CSFD:
+            return trilinear_quad_bricks(
+                vg4, res, vec3.comp(p, 0), vec3.comp(p, 1), vec3.comp(p, 2),
+                cfg.voxel_size,
+            )
+    elif pair_taps:
         vg = interleave_vg(bvol)
 
         def trilin_at(p: CSFD) -> CSFD:

@@ -109,6 +109,46 @@ class ShardedXSlamEngine:
             gt_pose = np.eye(4, dtype=np.float32)
         return self._step(state, jnp.asarray(depth_u16), jnp.asarray(gt_pose, np.float32))
 
+    def process_frames(self, state, depths_u16, gt_poses=None):
+        """(K, H, W) frame stack in ONE device dispatch — ``lax.scan`` of the
+        sharded step with the SLAM state as carry, mirroring
+        ``XSlamEngine.process_frames`` (models/kinfu.py)."""
+        K = depths_u16.shape[0]
+        if gt_poses is None:
+            gt_poses = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4))
+        key = (K,) + tuple(depths_u16.shape[1:])
+        if not hasattr(self, "_scan_steps"):
+            self._scan_steps = {}
+        if key not in self._scan_steps:
+            step = functools.partial(
+                _process_frame_sharded,
+                config=self.config,
+                intr=self.intr,
+                vol_cfg=self.vol_cfg,
+                world2volume=self.world2volume,
+                mesh=self.mesh,
+            )
+
+            def run(state, depths, gts):
+                return jax.lax.scan(
+                    lambda s, fr: step(s, fr[0], fr[1]), state, (depths, gts)
+                )
+
+            self._scan_steps[key] = jax.jit(run, donate_argnums=(0,))
+        return self._scan_steps[key](
+            state, jnp.asarray(depths_u16), jnp.asarray(gt_poses, np.float32)
+        )
+
+    def dense_volume(self, state: SlamState) -> fusion.VolumeState:
+        """The volume in dense (X, Y, Z) layout regardless of storage layout
+        — for extraction/export/relocalization consumers (same contract as
+        ``XSlamEngine.dense_volume``). GSPMD assembles the sharded rows."""
+        if self.config.volume_layout == "brick":
+            from ..ops import bricks
+
+            return bricks.to_dense(state.volume, self.vol_cfg.resolution)
+        return state.volume
+
     def log_pose(self, result: FrameResult):
         self.pose_log.append(np.asarray(result.camera2world.v))
 
@@ -194,6 +234,16 @@ def _process_frame_sharded(
             state, vmaps_curr, nmaps_curr, config, intr, mesh
         )
         c2w_prev = se3.inverse(state.world2camera)
+        if config.min_inlier_fraction > 0:
+            # association-support gate, identical to the single-chip engine
+            # (models/kinfu.py): inlier_count is already psum'd across the
+            # mesh, so the global count gates against the full model-map
+            # pixel budget
+            L = config.model_map_level
+            npix = (intr.height >> L) * (intr.width >> L)
+            align_ok = align_ok & (
+                inliers >= jnp.int32(int(config.min_inlier_fraction * npix))
+            )
         if config.max_translation_per_frame > 0:
             # physically-implausible motion -> same rejection semantics as
             # the det/NaN guard (see SlamConfig.max_translation_per_frame)
@@ -279,6 +329,7 @@ def _process_frame_sharded(
             skip_gran=config.raycast_skip_gran,
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
+            quad_taps=config.raycast_quad_taps,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary

@@ -269,7 +269,7 @@ def sharded_raycast_bricks(
     bvol, r_c2v, t_c2v, r_v2w, t_v2w, intr, vol_cfg, mesh,
     normals_mode: str = "screen", march_mode: str = "skip",
     hier_window: int = 12, packed_taps: bool = True, skip_gran: int = 8,
-    compact: bool = False, pair_taps: bool = False,
+    compact: bool = False, pair_taps: bool = False, quad_taps: bool = False,
 ):
     """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
     a per-chip column block. ``march_mode="skip"`` is bit-identical to the
@@ -316,7 +316,7 @@ def sharded_raycast_bricks(
             normals_mode=normals_mode, march_mode=march_mode,
             hier_window=hier_window, packed=packed, apply_screen=False,
             packed_taps=packed_taps, skip_gran=skip_gran, compact=compact,
-            pair_taps=pair_taps,
+            pair_taps=pair_taps, quad_taps=quad_taps,
         )
 
     from jax.sharding import PartitionSpec as P
