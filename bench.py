@@ -90,6 +90,7 @@ def main():
     # per-frame loop stays the default.
     mode = os.environ.get("XSLAM_BENCH_MODE", "frame")
     chunk = 6
+    warmup_s = 0.0
 
     if mode == "scan":
         n_chunks = n_frames // chunk
@@ -121,11 +122,13 @@ def main():
         mean_ms = 1000.0 * span / timed
     else:
         # warmup (compile + first dispatches), outside the timed region
+        t_warm = time.perf_counter()
         results = []
         for i in range(warmup):
             state, res = engine.process_frame(state, depths[i])
             results.append(res)
         np.asarray(results[-1].camera2world.v)
+        warmup_s = time.perf_counter() - t_warm
 
         t0 = time.perf_counter()
         for i in range(warmup, n_frames):
@@ -156,6 +159,9 @@ def main():
                 "fusion_overflow": overflowed,
                 "frames": n_frames,
                 "dispatch": mode,
+                # compile+first-dispatch time (cold = remote compile,
+                # warm = persistent-cache hit; BASELINE round-4 notes)
+                "warmup_s": round(warmup_s, 1),
                 "workload": "640x480 depth, 256^3 TSDF @0.03m, 3-level ICP {5,4,3}",
                 "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
             }

@@ -66,11 +66,21 @@ class SlamConfig:
     # full-res repair (approximate, see ops/raycast.py::march_hier);
     # "hier_skip" = hier with a skip-march coarse pass (identical anchors
     # to "hier", fewer coarse reads); "hier2" = two-level hierarchy
-    # (quarter-res march -> half-res repair -> windowed full-res repair)
+    # (quarter-res march -> half-res repair -> windowed full-res repair);
+    # "temporal" (brick layout only) = window repair anchored at the
+    # PREVIOUS frame's hit map — no coarse march at all; an on-device cond
+    # falls back to the full hier2_skip march whenever anchor coverage
+    # drops below raycast_temporal_min_coverage (bootstrap frame,
+    # post-relocalization jump), so the mode is self-healing
     raycast_march: str = "fixed"
     # repair-window length (march steps) for the hier modes (the finest
     # level in "hier2"; its mid level uses march_hier's default of 12)
     raycast_hier_window: int = 12
+    # temporal-march knobs: window length (march steps) around the previous
+    # frame's anchor, and the finite-anchor fraction below which the frame
+    # refreshes with a full hier2_skip march instead
+    raycast_temporal_window: int = 12
+    raycast_temporal_min_coverage: float = 0.5
     # skip-field cell edge (voxels) for the brick-layout skip march: 8 =
     # per-brick distances; 4 = 4^3 sub-brick distances — the fine-step band
     # around surfaces halves with IDENTICAL events (ops/bricks.py, event-

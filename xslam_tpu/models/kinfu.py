@@ -42,6 +42,10 @@ class SlamState(NamedTuple):
     nmaps_prev: Tuple[CSFD, ...]
     frame_idx: jnp.ndarray  # int32 scalar
     last_align_ok: jnp.ndarray  # bool scalar
+    # model-resolution hit distances of the last raycast (INF where no
+    # hit) — the anchors of the temporal march (raycast_march="temporal";
+    # carried but unused by the other march modes)
+    t_prev: jnp.ndarray = np.inf
 
 
 class FrameResult(NamedTuple):
@@ -68,6 +72,10 @@ class XSlamEngine:
         )
         if config.volume_layout == "brick" and config.fusion_mode != "brick":
             raise ValueError("volume_layout='brick' requires fusion_mode='brick'")
+        if config.raycast_march == "temporal" and config.volume_layout != "brick":
+            raise ValueError(
+                "raycast_march='temporal' requires volume_layout='brick'"
+            )
         self.world2volume = np.asarray(config.world2volume, np.float32)
         self.pose_log: List[np.ndarray] = []  # world2camera_record analogue
         self._step = jax.jit(
@@ -103,6 +111,7 @@ class XSlamEngine:
             nmaps_prev=nmaps,
             frame_idx=jnp.int32(0),
             last_align_ok=jnp.bool_(True),
+            t_prev=jnp.full((H >> L, W >> L), jnp.inf, jnp.float32),
         )
 
     def process_frame(
@@ -448,8 +457,9 @@ def process_frame(
             "fixed": "skip", "skip": "skip",
             "hier": "hier_skip", "hier_skip": "hier_skip",
             "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
+            "temporal": "temporal",
         }[config.raycast_march]
-        vmap0, nmap0 = raycast_bricks.raycast_bricks(
+        vmap0, nmap0, t_hit = raycast_bricks.raycast_bricks(
             volume, r_c2v, t_c2v, r_v2w, t_v2w, model_intr, vol_cfg,
             normals_mode=config.raycast_normals,
             march_mode=brick_march,
@@ -459,6 +469,10 @@ def process_frame(
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
             quad_taps=config.raycast_quad_taps,
+            t_anchor=state.t_prev if brick_march == "temporal" else None,
+            temporal_window=config.raycast_temporal_window,
+            temporal_min_coverage=config.raycast_temporal_min_coverage,
+            return_hit=True,
         )
     else:
         vmap0, nmap0 = raycast.raycast(
@@ -469,6 +483,7 @@ def process_frame(
             packed_taps=config.raycast_packed_taps,
             compact=config.raycast_compact,
         )
+        t_hit = state.t_prev  # dense path carries the anchors untouched
     vmaps_prev = [vmap0]
     nmaps_prev = [nmap0]
     for i in range(1, levels):
@@ -484,6 +499,7 @@ def process_frame(
         nmaps_prev=tuple(nmaps_prev),
         frame_idx=state.frame_idx + config.frame_step,
         last_align_ok=align_ok,
+        t_prev=t_hit,
     )
     return new_state, FrameResult(
         camera2world=c2w, align_ok=align_ok, inlier_count=inliers,

@@ -218,6 +218,9 @@ class RecoveringEngine:
         seeded = state._replace(
             world2camera=lift(jnp.asarray(se3.inverse_real(c2w_rec), jnp.float32)),
             frame_idx=state.frame_idx - self.config.frame_step,
+            # the temporal-march anchors were rendered at the frozen pose —
+            # invalidate them so the next raycast takes the refresh branch
+            t_prev=jnp.full_like(state.t_prev, jnp.inf),
         )
         state, result = self.engine.process_frame(seeded, depth_u16)
         ok = bool(np.asarray(result.align_ok))

@@ -576,6 +576,45 @@ def march_hier2(
     return _window_repair(value, ray_start, ray_dir.v, mid, window, cfg)
 
 
+def march_temporal(
+    value: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+    window: int = 12,
+    read_fn=None,
+    shape=None,
+) -> RaycastHit:
+    """Temporally-anchored march (approximate): window-repair every pixel
+    around the PREVIOUS frame's hit distance at the same pixel — no coarse
+    march at all, so the whole march costs ``window`` lockstep samples/ray.
+
+    Soundness: with sensor-rate motion (<= ~2 deg / ~3 cm per frame) a
+    surface's ray distance at a given pixel moves by at most a few cm +
+    the reprojection flow across the t field, both well inside a
+    ``window``-step (0.072 m/step) interval except at silhouette
+    discontinuities — exactly the approximation class of the hier modes
+    (missed pixels go NaN and are ICP-gated). ``t_prev`` (H, W) is
+    min-pooled 2x2 and fed through :func:`_window_repair`'s 2x2
+    neighbourhood-min anchor, so each pixel anchors at the earliest hit in
+    its ~4x4 previous-frame neighbourhood — tolerant to several pixels of
+    inter-frame flow. Pixels with no finite anchor in that neighbourhood
+    produce no event this frame (callers bootstrap / periodically refresh
+    with a full march — see the engine's anchor-coverage cond)."""
+    H, W = ray_dir.v.shape[-2:]
+    tp = jnp.where(jnp.isfinite(t_prev), t_prev, INF_T)
+    tp_half = jnp.min(
+        tp[: (H // 2) * 2, : (W // 2) * 2].reshape(H // 2, 2, W // 2, 2),
+        axis=(1, 3),
+    )
+    coarse = RaycastHit(t_found=tp_half, t_dead=jnp.full_like(tp_half, INF_T))
+    return _window_repair(
+        value, ray_start, ray_dir.v, coarse, window, cfg,
+        read_fn=read_fn, shape=shape,
+    )
+
+
 def _window_repair(
     value: jnp.ndarray,
     ray_start: CSFD,

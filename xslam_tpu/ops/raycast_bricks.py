@@ -40,7 +40,7 @@ from .raycast import (
     screen_normals,
 )
 
-BRICK_MARCH_MODES = ("skip", "hier_skip", "hier2_skip")
+BRICK_MARCH_MODES = ("skip", "hier_skip", "hier2_skip", "temporal")
 
 
 def _value_reader(plane, res):
@@ -342,7 +342,11 @@ def raycast_bricks(
     compact: bool = False,
     pair_taps: bool = False,
     quad_taps: bool = False,
-) -> Tuple[CSFD, CSFD]:
+    t_anchor=None,
+    temporal_window: int = 12,
+    temporal_min_coverage: float = 0.5,
+    return_hit: bool = False,
+):
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
     resolution (identical events to the reference's fixed march);
@@ -364,7 +368,9 @@ def raycast_bricks(
         normals_mode=normals_mode, march_mode=march_mode,
         hier_window=hier_window, packed_taps=packed_taps,
         skip_gran=skip_gran, compact=compact, pair_taps=pair_taps,
-        quad_taps=quad_taps,
+        quad_taps=quad_taps, t_anchor=t_anchor,
+        temporal_window=temporal_window,
+        temporal_min_coverage=temporal_min_coverage, return_hit=return_hit,
     )
 
 
@@ -385,7 +391,11 @@ def raycast_bricks_rays(
     compact: bool = False,
     pair_taps: bool = False,
     quad_taps: bool = False,
-) -> Tuple[CSFD, CSFD]:
+    t_anchor=None,
+    temporal_window: int = 12,
+    temporal_min_coverage: float = 0.5,
+    return_hit: bool = False,
+):
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
     multi-chip path, :mod:`xslam_tpu.parallel.sharded`). ``packed`` injects
@@ -409,15 +419,9 @@ def raycast_bricks_rays(
         )
     packed_read = _value_reader(packed, res)
 
-    if march_mode == "skip":
-        from .raycast import march_skip_compact
+    value_read = _value_reader(bvol.value, res)
 
-        march_fn = march_skip_compact if compact else march_skip
-        hit = march_fn(
-            None, None, ray_start, ray_dir, cfg,
-            packed_read=packed_read, shape=res, jump_unit=skip_gran,
-        )
-    elif march_mode == "hier2_skip":
+    def hier2_hit():
         # two-level hierarchy (raycast.march_hier2 composed on brick
         # readers): full-length skip march at QUARTER resolution, 12-step
         # repair at half, ``hier_window``-step repair at full — roughly
@@ -428,14 +432,43 @@ def raycast_bricks_rays(
             None, None, ray_start, q_dir, cfg,
             packed_read=packed_read, shape=res, jump_unit=skip_gran,
         )
-        value_read = _value_reader(bvol.value, res)
         mid = _window_repair(
             None, ray_start, ray_dir.v[:, ::2, ::2], coarse, 12, cfg,
             read_fn=value_read, shape=res,
         )
-        hit = _window_repair(
+        return _window_repair(
             None, ray_start, ray_dir.v, mid, hier_window, cfg,
             read_fn=value_read, shape=res,
+        )
+
+    if march_mode == "skip":
+        from .raycast import march_skip_compact
+
+        march_fn = march_skip_compact if compact else march_skip
+        hit = march_fn(
+            None, None, ray_start, ray_dir, cfg,
+            packed_read=packed_read, shape=res, jump_unit=skip_gran,
+        )
+    elif march_mode == "hier2_skip":
+        hit = hier2_hit()
+    elif march_mode == "temporal":
+        # window-repair anchored at the previous frame's hit map — no
+        # coarse march at all (raycast.march_temporal). The on-device cond
+        # falls back to the full hier2_skip march whenever anchor coverage
+        # is below threshold (bootstrap frame, post-relocalization pose
+        # jump, accumulated silhouette decay): self-healing, scan-safe.
+        if t_anchor is None:
+            raise ValueError("march_mode='temporal' requires t_anchor")
+        from .raycast import march_temporal
+
+        frac = jnp.mean(jnp.isfinite(t_anchor).astype(jnp.float32))
+        hit = jax.lax.cond(
+            frac >= temporal_min_coverage,
+            lambda: march_temporal(
+                None, t_anchor, ray_start, ray_dir, cfg,
+                window=temporal_window, read_fn=value_read, shape=res,
+            ),
+            hier2_hit,
         )
     else:
         coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
@@ -445,7 +478,7 @@ def raycast_bricks_rays(
         )
         hit = _window_repair(
             None, ray_start, ray_dir.v, coarse, hier_window, cfg,
-            read_fn=_value_reader(bvol.value, res), shape=res,
+            read_fn=value_read, shape=res,
         )
 
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
@@ -493,4 +526,8 @@ def raycast_bricks_rays(
     vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
     if normals_mode == "screen" and apply_screen:
         nmap = screen_normals(vmap)
+    if return_hit:
+        # surface-hit distances (INF where none) — the next frame's
+        # temporal anchors
+        return vmap, nmap, hit.t_found
     return vmap, nmap

@@ -44,6 +44,14 @@ class ShardedXSlamEngine:
         )
         n = self.mesh.devices.size
         assert config.tsdf_size[0] % n == 0, "volume X must divide the mesh"
+        if config.raycast_march == "temporal":
+            # fail fast rather than silently degrade (config-surface
+            # contract): the pixel-sharded raycast would need column-sliced
+            # anchors + a per-shard refresh cond — not wired yet
+            raise NotImplementedError(
+                "raycast_march='temporal' is not yet supported on the "
+                "sharded engine; use 'hier2_skip'"
+            )
         if config.volume_layout == "brick":
             if config.fusion_mode != "brick":
                 raise ValueError("volume_layout='brick' requires fusion_mode='brick'")
@@ -102,6 +110,9 @@ class ShardedXSlamEngine:
             nmaps_prev=tuple(nan_map(H >> (i + L), W >> (i + L)) for i in range(levels)),
             frame_idx=jnp.int32(0),
             last_align_ok=jnp.bool_(True),
+            t_prev=jax.device_put(
+                jnp.full((H >> L, W >> L), jnp.inf, jnp.float32), rep
+            ),
         )
 
     def process_frame(self, state, depth_u16, gt_pose=None):
@@ -357,6 +368,7 @@ def _process_frame_sharded(
         nmaps_prev=tuple(nmaps_prev),
         frame_idx=state.frame_idx + config.frame_step,
         last_align_ok=align_ok,
+        t_prev=state.t_prev,  # temporal anchors (unused on this path yet)
     )
     return new_state, FrameResult(
         camera2world=c2w, align_ok=align_ok, inlier_count=inliers,

@@ -32,6 +32,7 @@ def save_state(path: str, state: SlamState, pose_log: List[np.ndarray] | None = 
         "frame_idx": np.asarray(state.frame_idx),
         "last_align_ok": np.asarray(state.last_align_ok),
         "n_levels": np.int32(len(state.vmaps_prev)),
+        "t_prev": np.asarray(state.t_prev),
         "pose_log": np.stack(pose_log) if pose_log else np.zeros((0, 4, 4), np.float32),
     }
     for i, (vm, nm) in enumerate(zip(state.vmaps_prev, state.nmaps_prev)):
@@ -73,6 +74,10 @@ def load_state(path: str) -> Tuple[SlamState, List[np.ndarray]]:
         nmaps_prev=nmaps,
         frame_idx=jnp.int32(z["frame_idx"]),
         last_align_ok=jnp.bool_(z["last_align_ok"]),
+        # temporal-march anchors; pre-round-4 checkpoints lack them — an
+        # all-INF map is the safe cold anchor (forces a refresh march)
+        t_prev=jnp.asarray(z["t_prev"]) if "t_prev" in z.files
+        else jnp.full(vmaps[0].v.shape[-2:], jnp.inf, jnp.float32),
     )
     pose_log = [p for p in z["pose_log"]]
     return state, pose_log

@@ -33,7 +33,9 @@ def state_health(state) -> Dict[str, dict]:
     return out
 
 
-def assert_state_sane(state, allow_nan_keys=("vmaps_prev", "nmaps_prev")):
+def assert_state_sane(
+    state, allow_nan_keys=("vmaps_prev", "nmaps_prev", "t_prev")
+):
     """Raise if unexpected NaN/Inf appear (model maps legitimately carry NaN
     miss sentinels)."""
     for name, h in state_health(state).items():
