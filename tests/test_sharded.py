@@ -264,3 +264,38 @@ def test_sharded_process_frames_scan_matches_loop():
     np.testing.assert_array_equal(poses_loop[0], poses_scan[0])
     for i in range(1, n):
         np.testing.assert_allclose(poses_loop[i], poses_scan[i], atol=2e-3)
+
+
+def test_sharded_temporal_march_matches_single():
+    """raycast_march='temporal' through the sharded engine (column-sliced
+    anchors + per-shard refresh cond) tracks the single-chip temporal
+    engine within the hier-mode approximation envelope, and the anchors
+    stay live (the temporal branch actually runs after bootstrap)."""
+    cfg = small_config(
+        end_frame=4,
+        volume_layout="brick",
+        fusion_mode="brick",
+        fusion_brick_cap=6144,
+        raycast_normals="screen",
+        raycast_march="temporal",
+        model_map_level=1,
+        icp_fixed_assoc=True,
+        num_levels=2,  # see test_sharded_bench_config_matches_single
+    )
+    ds = small_dataset(4, degrees_per_frame=0.5)
+    single = XSlamEngine(cfg)
+    s_state = single.init_state()
+    sharded = ShardedXSlamEngine(cfg, n_devices=8)
+    p_state = sharded.init_state()
+    for i in range(4):
+        d = ds.get_depth(i)
+        s_state, s_res = single.process_frame(s_state, d)
+        p_state, p_res = sharded.process_frame(p_state, d)
+        atol = 1e-3 if i <= 1 else 2e-2
+        np.testing.assert_allclose(
+            np.asarray(s_res.camera2world.v), np.asarray(p_res.camera2world.v),
+            atol=atol,
+        )
+        assert bool(p_res.align_ok)
+    assert np.isfinite(np.asarray(p_state.t_prev)).mean() > 0.5
+    assert p_state.t_prev.shape == s_state.t_prev.shape

@@ -44,13 +44,9 @@ class ShardedXSlamEngine:
         )
         n = self.mesh.devices.size
         assert config.tsdf_size[0] % n == 0, "volume X must divide the mesh"
-        if config.raycast_march == "temporal":
-            # fail fast rather than silently degrade (config-surface
-            # contract): the pixel-sharded raycast would need column-sliced
-            # anchors + a per-shard refresh cond — not wired yet
-            raise NotImplementedError(
-                "raycast_march='temporal' is not yet supported on the "
-                "sharded engine; use 'hier2_skip'"
+        if config.raycast_march == "temporal" and config.volume_layout != "brick":
+            raise ValueError(
+                "raycast_march='temporal' requires volume_layout='brick'"
             )
         if config.volume_layout == "brick":
             if config.fusion_mode != "brick":
@@ -322,6 +318,7 @@ def _process_frame_sharded(
     # model maps may be rendered coarser than the depth (model_map_level):
     # raycast at the model map's own intrinsics, like the single-chip engine
     model_intr = intr.level(config.model_map_level)
+    t_hit = state.t_prev
     if config.volume_layout == "brick":
         # fixed/skip are event-identical -> "skip"; the hier modes map to the
         # skip-anchored hierarchical marches (same mapping as models/kinfu.py)
@@ -329,8 +326,9 @@ def _process_frame_sharded(
             "fixed": "skip", "skip": "skip",
             "hier": "hier_skip", "hier_skip": "hier_skip",
             "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
+            "temporal": "temporal",
         }[config.raycast_march]
-        vmap0, nmap0 = sharded_raycast_bricks(
+        vmap0, nmap0, t_hit = sharded_raycast_bricks(
             volume, se3.rotation(c2v), se3.translation(c2v),
             se3.rotation(v2w), se3.translation(v2w), model_intr, vol_cfg, mesh,
             normals_mode=config.raycast_normals,
@@ -341,6 +339,10 @@ def _process_frame_sharded(
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
             quad_taps=config.raycast_quad_taps,
+            t_anchor=state.t_prev if brick_march == "temporal" else None,
+            temporal_window=config.raycast_temporal_window,
+            temporal_min_coverage=config.raycast_temporal_min_coverage,
+            return_hit=True,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary
@@ -368,7 +370,7 @@ def _process_frame_sharded(
         nmaps_prev=tuple(nmaps_prev),
         frame_idx=state.frame_idx + config.frame_step,
         last_align_ok=align_ok,
-        t_prev=state.t_prev,  # temporal anchors (unused on this path yet)
+        t_prev=t_hit,
     )
     return new_state, FrameResult(
         camera2world=c2w, align_ok=align_ok, inlier_count=inliers,

@@ -270,6 +270,8 @@ def sharded_raycast_bricks(
     normals_mode: str = "screen", march_mode: str = "skip",
     hier_window: int = 12, packed_taps: bool = True, skip_gran: int = 8,
     compact: bool = False, pair_taps: bool = False, quad_taps: bool = False,
+    t_anchor=None, temporal_window: int = 12,
+    temporal_min_coverage: float = 0.5, return_hit: bool = False,
 ):
     """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
     a per-chip column block. ``march_mode="skip"`` is bit-identical to the
@@ -277,15 +279,22 @@ def sharded_raycast_bricks(
     edges (the coarse 2x2 anchor neighbourhood is clipped there — same
     approximation class, gated downstream like all hier modes). For
     ``normals_mode="screen"`` the caller derives normals from the assembled
-    vertex map (column-boundary pixels need their neighbours)."""
+    vertex map (column-boundary pixels need their neighbours).
+    ``march_mode="temporal"`` slices the replicated ``t_anchor`` map per
+    column block (block-edge pixels lose their right-neighbour anchors —
+    the hier-mode column-edge approximation class); the refresh cond is
+    PER SHARD, which is sound (each branch yields valid hits)."""
     from ..ops import bricks
     from ..ops.bricks import BrickVolume
     from ..ops.raycast_bricks import raycast_bricks_rays
 
     n = mesh.shape[SPACE_AXIS]
     res = vol_cfg.resolution
+    temporal = march_mode == "temporal"
+    if temporal and t_anchor is None:
+        raise ValueError("march_mode='temporal' requires t_anchor")
 
-    def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w):
+    def stage(vol, r_c2v, t_c2v, r_v2w, t_v2w, *maybe_anchor):
         idx = jax.lax.axis_index(SPACE_AXIS)
         value = jax.lax.all_gather(vol.value, SPACE_AXIS, tiled=True)
         grad = jax.lax.all_gather(vol.grad, SPACE_AXIS, tiled=True)
@@ -311,12 +320,16 @@ def sharded_raycast_bricks(
         wl = ray_dir.v.shape[-1] // n
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * wl, wl, axis=-1)
         ray_dir = CSFD(sl(ray_dir.v), sl(ray_dir.g))
+        anchor = sl(maybe_anchor[0]) if temporal else None
         return raycast_bricks_rays(
             full, ray_start, ray_dir, r_v2w, t_v2w, vol_cfg,
             normals_mode=normals_mode, march_mode=march_mode,
             hier_window=hier_window, packed=packed, apply_screen=False,
             packed_taps=packed_taps, skip_gran=skip_gran, compact=compact,
             pair_taps=pair_taps, quad_taps=quad_taps,
+            t_anchor=anchor, temporal_window=temporal_window,
+            temporal_min_coverage=temporal_min_coverage,
+            return_hit=return_hit,
         )
 
     from jax.sharding import PartitionSpec as P
@@ -324,13 +337,19 @@ def sharded_raycast_bricks(
     spec = _brick_row_specs()
     dual = CSFD(P(), P())
     cols = CSFD(P(None, None, SPACE_AXIS), P(None, None, SPACE_AXIS))
+    in_specs = [spec, dual, dual, dual, dual]
+    args = [bvol, r_c2v, t_c2v, r_v2w, t_v2w]
+    if temporal:
+        in_specs.append(P())  # replicated anchor map, sliced per shard
+        args.append(t_anchor)
+    out_specs = (cols, cols, P(None, SPACE_AXIS)) if return_hit else (cols, cols)
     return _shard_map(
         stage,
         mesh=mesh,
-        in_specs=(spec, dual, dual, dual, dual),
-        out_specs=(cols, cols),
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
         check_vma=False,
-    )(bvol, r_c2v, t_c2v, r_v2w, t_v2w)
+    )(*args)
 
 
 def sharded_associate(
