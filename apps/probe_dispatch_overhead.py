@@ -84,6 +84,23 @@ def main():
     big = (time.perf_counter() - t0) / N * 1e3
     print(f"dependent chain + 600 KB device-resident frame arg: {big:.2f} ms/dispatch")
 
+    # does dispatch cost scale with the NUMBER of argument/result buffers?
+    # (the SLAM state pytree is ~20 arrays in / ~25 out per step)
+    for nbuf in (4, 24):
+        @jax.jit
+        def many(xs):
+            return [x + 1.0 for x in xs]
+
+        xs = [jnp.zeros((8, 128), jnp.float32) for _ in range(nbuf)]
+        xs = many(xs)
+        np.asarray(xs[0])
+        t0 = time.perf_counter()
+        for _ in range(N):
+            xs = many(xs)
+        np.asarray(xs[0])
+        dt = (time.perf_counter() - t0) / N * 1e3
+        print(f"dependent chain, {nbuf} arg/result buffers: {dt:.2f} ms/dispatch")
+
 
 if __name__ == "__main__":
     main()

@@ -39,22 +39,23 @@ def main():
     # the fast verified configuration: persistent brick-major volume
     # (zero dense<->brick transposes), brick-compacted fusion
     # (bit-equivalent to dense; cap covers the measured ~3.7k ACTIVE bricks
-    # with margin), hierarchical skip march (half-resolution anchor march +
-    # 12-step window repair; approximate — validated at 1.7 mm ATE here and
-    # 7.3 mm on the realistic 300-frame ICL run, BASELINE.md round 3),
-    # pair-table trilinear taps (bit-identical, 2x fewer gather issues),
-    # half-resolution model maps, central-difference screen normals,
-    # per-level fixed ICP correspondences (all within the tracking-accuracy
-    # envelope — tests/test_bricks.py, test_fast_paths.py,
-    # test_march_skip.py); the ATE of this exact run is reported alongside
-    # the FPS.
+    # with margin), depth-anchored temporal march (window repair around the
+    # current depth frame's surface distances with prev-hit fallback and an
+    # on-device full-march refresh cond; approximate — validated at 1.7 mm
+    # ATE here and 7.3 mm / 0 failures on the realistic 300-frame ICL run,
+    # BASELINE.md round 4), pair-table trilinear taps (bit-identical, 2x
+    # fewer gather issues), half-resolution model maps, central-difference
+    # screen normals, per-level fixed ICP correspondences (all within the
+    # tracking-accuracy envelope — tests/test_bricks.py,
+    # test_fast_paths.py, test_march_skip.py); the ATE of this exact run is
+    # reported alongside the FPS.
     config = SlamConfig(
         end_frame=n_frames,
         volume_layout="brick",
         fusion_mode="brick",
         fusion_brick_cap=6144,
         raycast_normals="screen",
-        raycast_march="hier_skip",
+        raycast_march="temporal",
         model_map_level=1,
         icp_fixed_assoc=True,
     )

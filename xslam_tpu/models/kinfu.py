@@ -459,6 +459,24 @@ def process_frame(
             "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
             "temporal": "temporal",
         }[config.raycast_march]
+        if brick_march == "temporal":
+            # anchor each ray at the CURRENT depth frame's surface distance
+            # (t = |backprojected vertex|, pose-free since the volume->ray
+            # transform is rigid), falling back to the previous raycast's
+            # hit distance where depth is invalid. Depth anchors are
+            # complete wherever the sensor sees — unlike pure prev-hit
+            # anchors, which erode at the pan leading edge faster than the
+            # 2x2-min spread heals (measured on the realistic run: coverage
+            # decayed from frame ~196 at 1.8 deg/frame until tracking
+            # died). The fused map surface lies within (noise + pose error
+            # + fusion smoothing) of the depth along each ray — well
+            # inside the repair window. Blank/dropout frames lose depth
+            # anchors everywhere -> the coverage cond takes the full
+            # refresh march, which is the correct blackout behaviour.
+            depth_t = jnp.linalg.norm(vmaps_curr[config.model_map_level], axis=0)
+            t_anchor = jnp.where(jnp.isfinite(depth_t), depth_t, state.t_prev)
+        else:
+            t_anchor = None
         vmap0, nmap0, t_hit = raycast_bricks.raycast_bricks(
             volume, r_c2v, t_c2v, r_v2w, t_v2w, model_intr, vol_cfg,
             normals_mode=config.raycast_normals,
@@ -469,7 +487,7 @@ def process_frame(
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
             quad_taps=config.raycast_quad_taps,
-            t_anchor=state.t_prev if brick_march == "temporal" else None,
+            t_anchor=t_anchor,
             temporal_window=config.raycast_temporal_window,
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,

@@ -586,22 +586,24 @@ def march_temporal(
     read_fn=None,
     shape=None,
 ) -> RaycastHit:
-    """Temporally-anchored march (approximate): window-repair every pixel
-    around the PREVIOUS frame's hit distance at the same pixel — no coarse
-    march at all, so the whole march costs ``window`` lockstep samples/ray.
+    """Anchored march (approximate): window-repair every pixel around a
+    per-pixel anchor distance — no coarse march at all, so the whole march
+    costs ``window`` lockstep samples/ray.
 
-    Soundness: with sensor-rate motion (<= ~2 deg / ~3 cm per frame) a
-    surface's ray distance at a given pixel moves by at most a few cm +
-    the reprojection flow across the t field, both well inside a
-    ``window``-step (0.072 m/step) interval except at silhouette
-    discontinuities — exactly the approximation class of the hier modes
-    (missed pixels go NaN and are ICP-gated). ``t_prev`` (H, W) is
-    min-pooled 2x2 and fed through :func:`_window_repair`'s 2x2
-    neighbourhood-min anchor, so each pixel anchors at the earliest hit in
-    its ~4x4 previous-frame neighbourhood — tolerant to several pixels of
-    inter-frame flow. Pixels with no finite anchor in that neighbourhood
-    produce no event this frame (callers bootstrap / periodically refresh
-    with a full march — see the engine's anchor-coverage cond)."""
+    ``t_prev`` (H, W) is the anchor map. The engines anchor primarily at
+    the CURRENT depth frame's surface distance (t = |backprojected
+    vertex|; the fused map surface lies within noise + pose error + fusion
+    smoothing of it — centimetres, well inside a window step of 0.072 m)
+    with the previous raycast's hit distance as fallback where depth is
+    invalid. Pure previous-hit anchoring is NOT sufficient: anchors erode
+    at a pan's leading edge faster than neighbourhood spread heals
+    (measured on the realistic 300-frame run). Anchors are min-pooled 2x2
+    and fed through :func:`_window_repair`'s 2x2 neighbourhood-min, so
+    each pixel anchors at the earliest candidate in its ~4x4
+    neighbourhood. Pixels with no finite anchor produce no event this
+    frame — silhouette/dropout misses go NaN and are ICP-gated (the hier
+    approximation class); callers bootstrap / refresh with a full march
+    via the anchor-coverage cond."""
     H, W = ray_dir.v.shape[-2:]
     tp = jnp.where(jnp.isfinite(t_prev), t_prev, INF_T)
     tp_half = jnp.min(

@@ -328,6 +328,13 @@ def _process_frame_sharded(
             "hier2": "hier2_skip", "hier2_skip": "hier2_skip",
             "temporal": "temporal",
         }[config.raycast_march]
+        if brick_march == "temporal":
+            # depth-primary anchors, prev-hit fallback — same construction
+            # and rationale as the single-chip engine (models/kinfu.py)
+            depth_t = jnp.linalg.norm(vmaps_curr[config.model_map_level], axis=0)
+            t_anchor = jnp.where(jnp.isfinite(depth_t), depth_t, state.t_prev)
+        else:
+            t_anchor = None
         vmap0, nmap0, t_hit = sharded_raycast_bricks(
             volume, se3.rotation(c2v), se3.translation(c2v),
             se3.rotation(v2w), se3.translation(v2w), model_intr, vol_cfg, mesh,
@@ -339,7 +346,7 @@ def _process_frame_sharded(
             compact=config.raycast_compact,
             pair_taps=config.raycast_pair_taps,
             quad_taps=config.raycast_quad_taps,
-            t_anchor=state.t_prev if brick_march == "temporal" else None,
+            t_anchor=t_anchor,
             temporal_window=config.raycast_temporal_window,
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,
