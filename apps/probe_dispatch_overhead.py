@@ -101,6 +101,22 @@ def main():
         dt = (time.perf_counter() - t0) / N * 1e3
         print(f"dependent chain, {nbuf} arg/result buffers: {dt:.2f} ms/dispatch")
 
+    # does per-execute cost scale with carried-state SIZE? (the SLAM state
+    # is ~201 MB of volume rows, donated) — a trivial elementwise add over
+    # a 201 MB carry costs ~0.5 ms of HBM time; anything beyond that is
+    # relay/runtime per-execute overhead on big buffers
+    for donate in (False, True):
+        f = jax.jit(lambda y: y + 1.0, donate_argnums=(0,) if donate else ())
+        y = jnp.zeros((3, 256 * 256 * 256), jnp.float32)  # 201 MB
+        y = f(y)
+        np.asarray(y[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = f(y)
+        np.asarray(y[0, 0])
+        dt = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"dependent chain, 201 MB carry, donate={donate}: {dt:.2f} ms/dispatch")
+
 
 if __name__ == "__main__":
     main()

@@ -40,7 +40,14 @@ def fetch(x):
     return np.asarray(x.reshape(-1)[0])
 
 
-def lap(fn, *args, reps=3):
+def lap(fn, *args, reps=3, loop=20):
+    """Per-execution time of ``fn(*args)`` via a SUBMIT-ONLY dispatch loop:
+    N independent executes queued back-to-back, one tiny fetch at the end.
+    Round-4 probe (apps/probe_dispatch_overhead.py): a dispatch costs
+    ~1.5 ms (3 ms with a 201 MB carry) and a host FETCH ~25-30 ms — so
+    fetch-per-rep timing (the old method) buries stages under fetch
+    overhead, while this loop measures device time + ~1.5 ms. The TPU
+    executes queued programs serially, so division by N is sound."""
     import jax
 
     out = fn(*args)  # warm/compile
@@ -49,12 +56,14 @@ def lap(fn, *args, reps=3):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(loop):
+            out = fn(*args)
         leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "reshape")]
-        for l in leaves[:1]:
-            fetch(l)
-        ts.append(time.perf_counter() - t0)
-    return min(ts), out
+        fetch(leaves[0])
+        ts.append((time.perf_counter() - t0) / loop)
+    # subtract the measured per-loop floor (dispatch ~1.5 ms is inherent to
+    # any per-stage program; the one closing fetch ~25 ms amortizes /loop)
+    return max(min(ts) - 0.025 / loop, 0.0), out
 
 
 def device_time(fn, *args, scan_n=8, reps=3):
@@ -216,6 +225,18 @@ def main():
         )
 
     @jax.jit
+    def temporal_march_stage(vol, t_anchor, ray_start, ray_dir):
+        # the round-4 bench march: depth-anchored window repair
+        # (raycast.march_temporal; anchors = current depth's surface
+        # distances, built in the engine from vmaps_curr[model_map_level])
+        return raycast.march_temporal(
+            None, t_anchor, ray_start, ray_dir, vol_cfg,
+            window=config.raycast_temporal_window,
+            read_fn=raycast_bricks._value_reader(vol.value, res),
+            shape=res,
+        )
+
+    @jax.jit
     def pair_table_stage(vol):
         return raycast_bricks.interleave_vg(vol)
 
@@ -364,6 +385,20 @@ def main():
         vol.value, packed, ray_start, ray_dir, scan_n=scan_n, reps=reps,
     )
 
+    # depth anchors at model resolution (engine construction: |vmap| at
+    # model_map_level)
+    anchor = jnp.linalg.norm(
+        jnp.nan_to_num(vmaps_curr[L], nan=jnp.inf, posinf=jnp.inf), axis=0
+    )
+    t, hit_t = lap(temporal_march_stage, vol, anchor, ray_start, ray_dir, reps=reps)
+    results["temporal_march (bench)"] = t
+    dev["temporal_march (bench)"] = device_time(
+        lambda v, a, rs, rd: temporal_march_stage(
+            bricks.BrickVolume(v, vol.grad, vol.weight), a, rs, rd
+        ),
+        vol.value, anchor, ray_start, ray_dir, scan_n=scan_n, reps=reps,
+    )
+
     t, pair_vg = lap(pair_table_stage, vol, reps=reps)
     results["pair_table_build"] = t
     dev["pair_table_build"] = device_time(
@@ -408,7 +443,11 @@ def main():
 
     total = sum(results.values())
     dtotal = sum(dev.values())
-    print("\n== stage times: dispatch-lap | device (scan-derived) ==", flush=True)
+    print(
+        "\n== stage times: submit-loop (device + ~1.5 ms dispatch) | "
+        "chained-scan device estimate ==",
+        flush=True,
+    )
     for k, v in sorted(dev.items(), key=lambda kv: -kv[1]):
         print(
             f"  {k:28s} {1000*results[k]:8.1f} ms | {1000*v:8.1f} ms"

@@ -52,23 +52,26 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 
 # ---- measured single-chip inputs (TPU v5e, BASELINE.md round 4) ----------
-# device-time stage budget at the bench config (hier_skip march + quad taps),
-# chained-scan methodology; ms/frame
+# device-time stage budget at the bench config (temporal march + pair taps),
+# submit-only dispatch-loop methodology (apps/profile_stages.py — the
+# round-3 chained-scan numbers under-measured fusion by ~23 ms); ms/frame
 MEASURED = {
     # shardable: gather-/compute-bound stages whose per-chip work falls 1/N
     # (pixel-column-sharded march/refine, brick-row-sharded fusion,
     # column-sharded ICP with psum'd 6x7 systems)
     "shard_ms": {
-        "march": 22.1,
-        "refine": 14.2,  # pair taps (round-3 continuation budget)
-        "icp": 3.0,
-        "fusion": 2.6,
-        "misc": 0.3,
+        "march": 8.3,  # temporal (depth-anchored window repair)
+        "refine": 13.5,  # pair taps
+        "icp": 2.5,
+        "fusion": 16.4,  # brick rows, cap 4096 (25.8 at the old cap 6144)
+        "misc": 2.1,  # pair table + skip rows + camera rays
     },
     # replicated: every chip does the full-frame preprocessing
-    "repl_ms": {"preprocess": 1.1},
-    # host/dispatch gap: bench frame time (71.0 ms) minus device sum (43.3)
-    "host_ms": 27.7,
+    "repl_ms": {"preprocess": 1.0},
+    # true host/dispatch floor: ~1.5 ms/dispatch + ~1 ms for the 201 MB
+    # state (apps/probe_dispatch_overhead.py — the round-3 '27.7 ms host
+    # gap' was mis-measured device work, BASELINE.md round 4)
+    "host_ms": 2.5,
 }
 
 
