@@ -49,11 +49,17 @@ def main():
     # tracking-accuracy envelope — tests/test_bricks.py,
     # test_fast_paths.py, test_march_skip.py); the ATE of this exact run is
     # reported alongside the FPS.
+    # fusion gathers cost cap*512 regardless of the actual ACTIVE count
+    # (static shapes), so the cap is sized to the measured maximum (3733
+    # bench / 3662 realistic ACTIVE bricks) + ~10% margin, with the exact
+    # dense re-integration as the in-jit overflow safety net (rare slow
+    # frame instead of a dropped update)
     config = SlamConfig(
         end_frame=n_frames,
         volume_layout="brick",
         fusion_mode="brick",
-        fusion_brick_cap=6144,
+        fusion_brick_cap=2560,
+        fusion_overflow="dense",
         raycast_normals="screen",
         raycast_march="temporal",
         model_map_level=1,

@@ -124,3 +124,51 @@ def test_engine_overflow_propagates_and_dense_fallback():
     np.testing.assert_allclose(
         np.asarray(st_safe.volume.value), np.asarray(st_dense.volume.value), atol=1e-5
     )
+
+
+def test_classify_fine_matches_coarse_fusion():
+    """fusion_classify_fine=True must produce the identical volume (both
+    classifiers are conservative; classes only steer compaction), with an
+    ACTIVE set no larger than the coarse classifier's."""
+    import jax
+    import jax.numpy as jnp
+
+    from xslam_tpu.csfd.single import lift
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.ops import bricks, fusion, fusion_brick
+    from tests.helpers import SMALL_INTR, small_config, small_dataset
+
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist,
+        cfg.max_integration_weight,
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(3, degrees_per_frame=1.0)
+    vol_c = bricks.create(vol_cfg)
+    vol_f = bricks.create(vol_cfg)
+    integ = {}
+    for fine in (False, True):
+        integ[fine] = jax.jit(
+            lambda v, d, r, t, fine=fine: fusion_brick.integrate_rows(
+                v, d, r, t, SMALL_INTR, vol_cfg, cap=512, classify_fine=fine
+            )
+        )
+    for i in range(3):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(
+            lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32))
+        )
+        v2c = se3.inverse(c2v)
+        r, t = se3.rotation(v2c), se3.translation(v2c)
+        cls_c = np.asarray(fusion_brick.classify_bricks(
+            dm, r.v, t.v, SMALL_INTR, vol_cfg, vol_cfg.resolution))
+        cls_f = np.asarray(fusion_brick.classify_bricks_fine(
+            dm, r.v, t.v, SMALL_INTR, vol_cfg, vol_cfg.resolution))
+        assert (cls_f == 2).sum() <= (cls_c == 2).sum()
+        vol_c, ov_c = integ[False](vol_c, dm, r, t)
+        vol_f, ov_f = integ[True](vol_f, dm, r, t)
+        assert not bool(ov_c) and not bool(ov_f)
+    np.testing.assert_array_equal(np.asarray(vol_c.weight), np.asarray(vol_f.weight))
+    np.testing.assert_allclose(np.asarray(vol_c.value), np.asarray(vol_f.value), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vol_c.grad), np.asarray(vol_f.grad), atol=1e-6)

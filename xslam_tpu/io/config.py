@@ -76,10 +76,14 @@ class SlamConfig:
     # repair-window length (march steps) for the hier modes (the finest
     # level in "hier2"; its mid level uses march_hier's default of 12)
     raycast_hier_window: int = 12
-    # temporal-march knobs: window length (march steps) around the previous
-    # frame's anchor, and the finite-anchor fraction below which the frame
-    # refreshes with a full hier2_skip march instead
-    raycast_temporal_window: int = 12
+    # temporal-march knobs: window length (march steps) around the
+    # depth/prev-hit anchor, and the finite-anchor fraction below which the
+    # frame refreshes with a full hier2_skip march instead. Window 8 vs 12
+    # measured identical ATE on the canonical bench and the realistic
+    # 300-frame runs at -2.6 ms/frame (BASELINE.md round 4) — the anchors
+    # are depth-primary, so the window only absorbs noise + pose error +
+    # fusion smoothing, not inter-frame motion.
+    raycast_temporal_window: int = 8
     raycast_temporal_min_coverage: float = 0.5
     # skip-field cell edge (voxels) for the brick-layout skip march: 8 =
     # per-brick distances; 4 = 4^3 sub-brick distances — the fine-step band
@@ -138,6 +142,10 @@ class SlamConfig:
     # depth gathers bounded by fusion_brick_cap * 512)
     fusion_mode: str = "dense"
     fusion_brick_cap: int = 8192
+    # classify fusion bricks from 4^3-subcell interval tests (tighter
+    # ACTIVE set, ~8x the classification arithmetic — see
+    # ops/fusion_brick.py::classify_bricks_fine). Off: per-brick tests.
+    fusion_classify_fine: bool = False
     # what to do when a frame's ACTIVE bricks exceed fusion_brick_cap:
     # "flag" = report it in FrameResult.fusion_overflow (callers decide);
     # "dense" = automatically re-integrate the frame with the exact dense

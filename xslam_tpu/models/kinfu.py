@@ -389,6 +389,7 @@ def process_frame(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 bi_threshold=config.bi_interpolate_threshold,
                 cap=config.fusion_brick_cap,
+                classify_fine=config.fusion_classify_fine,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -398,6 +399,7 @@ def process_frame(
                     lambda v: fusion_brick.integrate_rows(
                         v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                         bi_threshold=config.bi_interpolate_threshold, cap=NB,
+                        classify_fine=config.fusion_classify_fine,
                     )[0],
                     lambda v: out,
                     vol,
@@ -412,6 +414,7 @@ def process_frame(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 bi_threshold=config.bi_interpolate_threshold,
                 cap=config.fusion_brick_cap,
+                classify_fine=config.fusion_classify_fine,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery: redo the frame with the exact dense

@@ -128,23 +128,46 @@ def classify_bricks(
     cfg: VolumeConfig,
     res: Tuple[int, int, int],
     x_offset=0,
+    cell: int = BRICK,
 ) -> jnp.ndarray:
-    """Per-brick class: 0 = NONE, 1 = FAR, 2 = ACTIVE. ``x_offset`` (voxels)
-    shifts the x origin for X-sharded slabs."""
+    """Per-cell class on a ``cell``-voxel grid: 0 = NONE, 1 = FAR,
+    2 = ACTIVE. ``x_offset`` (voxels) shifts the x origin for X-sharded
+    slabs. ``cell`` defaults to the brick edge; ``cell=4`` classifies 4^3
+    subcells — smaller footprints select finer depth mips, so the interval
+    bounds tighten and the depth-discontinuity ACTIVE cones shrink (see
+    :func:`classify_bricks_fine`)."""
     X, Y, Z = res
-    nb = (X // BRICK, Y // BRICK, Z // BRICK)
+    nb = (X // cell, Y // cell, Z // cell)
     vs = cfg.voxel_size
     H, W = depth_m.shape
 
     x_off_m = x_offset * vs
-    bx0 = (jnp.arange(nb[0], dtype=jnp.float32))[:, None, None] * (BRICK * vs) + x_off_m
-    by0 = (jnp.arange(nb[1], dtype=jnp.float32))[None, :, None] * (BRICK * vs)
-    bz0 = (jnp.arange(nb[2], dtype=jnp.float32))[None, None, :] * (BRICK * vs)
-    bm = BRICK * vs
+    bx0 = (jnp.arange(nb[0], dtype=jnp.float32))[:, None, None] * (cell * vs) + x_off_m
+    by0 = (jnp.arange(nb[1], dtype=jnp.float32))[None, :, None] * (cell * vs)
+    bz0 = (jnp.arange(nb[2], dtype=jnp.float32))[None, None, :] * (cell * vs)
+    bm = cell * vs
 
     # project all 8 brick corners: tight image-space bbox + camera-z interval
     R, t = r_v2c_v, t_v2c_v
     us, vs_, zs = [], [], []
+    # frustum-plane maxima: a voxel can update only if z > 0 and its
+    # projection is inside the per-voxel gate u in [2.5, W-0.5), v in
+    # [2.5, H-0.5) (fusion._voxel_update's floor(img-0.5) bounds) — for
+    # z > 0 each bound is a HALF-SPACE a*x + b*y + c*z >= 0 in camera
+    # coords (multiply through by z; sign-safe for negative fy). A brick
+    # whose corner-hull maximum of a plane form is negative contains no
+    # point satisfying it, hence no updating voxel -> NONE. Unlike the
+    # projected-bbox test this is valid for z-straddling / behind-ish
+    # bricks (the camera sits INSIDE the volume: measured 1.3k such bricks
+    # were previously stuck ACTIVE because projection intervals explode
+    # near z = 0).
+    planes = (
+        (intr.fx, 0.0, intr.cx - 2.5),
+        (-intr.fx, 0.0, (W - 0.5) - intr.cx),
+        (0.0, intr.fy, intr.cy - 2.5),
+        (0.0, -intr.fy, (H - 0.5) - intr.cy),
+    )
+    plane_max = [None] * 4
     for dx in (0.0, bm):
         for dy in (0.0, bm):
             for dz in (0.0, bm):
@@ -156,6 +179,16 @@ def classify_bricks(
                 zc = jnp.maximum(cz_, 1e-6)
                 us.append(intr.fx * cx_ / zc + intr.cx)
                 vs_.append(intr.fy * cy_ / zc + intr.cy)
+                for pi, (a, b, c) in enumerate(planes):
+                    val = a * cx_ + b * cy_ + c * cz_
+                    plane_max[pi] = (
+                        val if plane_max[pi] is None
+                        else jnp.maximum(plane_max[pi], val)
+                    )
+    frustum_out = (
+        (plane_max[0] < 0.0) | (plane_max[1] < 0.0)
+        | (plane_max[2] < 0.0) | (plane_max[3] < 0.0)
+    )
     zmin = zs[0]
     zmax = zs[0]
     for z in zs[1:]:
@@ -252,11 +285,55 @@ def classify_bricks(
     none_by_band = proj_ok & (sdf_upper < -cfg.trunc_dist)
     # FAR: every voxel in-image, every sample valid, provably sdf > trunc
     sdf_lower = dmin * lam_min - dist_max
-    far = proj_ok & fully_inside & all_valid & (sdf_lower > cfg.trunc_dist)
+    provably_far = proj_ok & all_valid & (sdf_lower > cfg.trunc_dist)
+    far = provably_far & fully_inside
+    # FAR_PARTIAL (class 3): the same proof without full visibility — every
+    # IN-IMAGE voxel is provably far (sdf_lower is over the clipped
+    # footprint's valid pixels); the fusion core applies the far update
+    # under the exact per-voxel in-image mask (no depth gathers), so these
+    # bricks no longer burn ACTIVE depth-gather budget
+    far_partial = provably_far & ~fully_inside
 
-    none = fully_behind | fully_outside | none_by_band
+    none = fully_behind | fully_outside | frustum_out | none_by_band
     cls = jnp.where(none, 0, 2)
     cls = jnp.where(far & ~none, 1, cls)
+    cls = jnp.where(far_partial & ~none, 3, cls)
+    return cls.astype(jnp.int32)
+
+
+def classify_bricks_fine(
+    depth_m: jnp.ndarray,
+    r_v2c_v: jnp.ndarray,
+    t_v2c_v: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    res: Tuple[int, int, int],
+    x_offset=0,
+) -> jnp.ndarray:
+    """Per-BRICK class derived from 4^3-subcell interval tests: NONE iff
+    every subcell is NONE, FAR iff every subcell is FAR, FAR_PARTIAL iff
+    every subcell is far-ish, else ACTIVE. Strictly conservative like
+    :func:`classify_bricks` (each subcell runs the same interval
+    arithmetic on a smaller box with a finer depth-mip footprint) and
+    somewhat tighter (bench scene: 2056 -> 1901 ACTIVE bricks; the big
+    wins — frustum culling of z-straddling bricks and the masked
+    FAR_PARTIAL class — already live in the brick-level classifier, which
+    went 3733 -> 2056). Costs ~8x the classification arithmetic (still
+    elementwise/VPU); opt-in via ``SlamConfig.fusion_classify_fine`` for
+    workloads where the residual cone looseness matters."""
+    sub = classify_bricks(
+        depth_m, r_v2c_v, t_v2c_v, intr, cfg, res, x_offset=x_offset, cell=4
+    )
+    nbx, nby, nbz = res[0] // BRICK, res[1] // BRICK, res[2] // BRICK
+    s = sub.reshape(nbx, 2, nby, 2, nbz, 2)
+    all_none = jnp.all(s == 0, axis=(1, 3, 5))
+    all_far = jnp.all(s == 1, axis=(1, 3, 5))
+    # every subcell provably far on its in-image part -> the masked far
+    # update is valid brick-wide (class 3); a NONE subcell may be
+    # none-by-band (in-image voxels that must NOT update), so mixes with
+    # NONE stay ACTIVE
+    all_farish = jnp.all((s == 1) | (s == 3), axis=(1, 3, 5))
+    cls = jnp.where(all_none, 0, jnp.where(all_far, 1, jnp.where(all_farish, 3, 2)))
     return cls.astype(jnp.int32)
 
 
@@ -288,6 +365,7 @@ def integrate_brick(
     bi_threshold: float = 0.0,
     cap: int = 8192,
     x_offset: int = 0,
+    classify_fine: bool = False,
 ):
     """Brick-compacted fusion. Returns (VolumeState, overflowed_flag).
 
@@ -297,7 +375,8 @@ def integrate_brick(
     dense path (the default engine asserts this does not happen on the
     canonical workloads)."""
     res = vol.value.shape
-    cls = classify_bricks(
+    classify = classify_bricks_fine if classify_fine else classify_bricks
+    cls = classify(
         depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
     ).reshape(-1)
     vb, gb, wb, overflow = _integrate_rows_core(
@@ -320,6 +399,7 @@ def integrate_rows(
     bi_threshold: float = 0.0,
     cap: int = 8192,
     x_offset: int = 0,
+    classify_fine: bool = False,
 ):
     """Brick-compacted fusion over a persistent brick-major volume
     (:class:`xslam_tpu.ops.bricks.BrickVolume`): same math as
@@ -329,7 +409,8 @@ def integrate_rows(
     from .bricks import BrickVolume
 
     res = cfg.resolution
-    cls = classify_bricks(
+    classify = classify_bricks_fine if classify_fine else classify_bricks
+    cls = classify(
         depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
     ).reshape(-1)
     vb, gb, wb, overflow = _integrate_rows_core(
@@ -350,14 +431,40 @@ def _integrate_rows_core(
     vs = cfg.voxel_size
 
     # ---- FAR pass: elementwise, no gathers --------------------------------
-    far_rows = (cls == 1)[:, None]
+    # class 1 = every voxel far; class 3 = every IN-IMAGE voxel far — the
+    # mask recomputes the exact per-voxel gate of fusion._voxel_update
+    # (z > 0, floor(img-0.5) in (1, W-1)) from index math: pure VPU work
+    # fused into the elementwise update, no gathers. For class-1 rows the
+    # mask is provably all-true (fully_inside), keeping the historical
+    # bit-exact behaviour.
+    far_rows = ((cls == 1) | (cls == 3))[:, None]
+    H, W = depth_m.shape
+    nby_, nbz_ = (res[1] // BRICK), (res[2] // BRICK)
+    bids = jnp.arange(vb.shape[0], dtype=jnp.int32)
+    bxa = bids // (nby_ * nbz_)
+    bya = (bids // nbz_) % nby_
+    bza = bids % nbz_
+    lxa = (np.arange(BRICK**3) // (BRICK * BRICK)).astype(np.float32)
+    lya = ((np.arange(BRICK**3) // BRICK) % BRICK).astype(np.float32)
+    lza = (np.arange(BRICK**3) % BRICK).astype(np.float32)
+    fx_ = ((bxa * BRICK).astype(jnp.float32)[:, None] + lxa[None, :] + 0.5 + x_offset) * vs
+    fy_ = ((bya * BRICK).astype(jnp.float32)[:, None] + lya[None, :] + 0.5) * vs
+    fz_ = ((bza * BRICK).astype(jnp.float32)[:, None] + lza[None, :] + 0.5) * vs
+    Rv, tv = r_v2c.v, t_v2c.v
+    ccx = Rv[0, 0] * fx_ + Rv[0, 1] * fy_ + Rv[0, 2] * fz_ + tv[0]
+    ccy = Rv[1, 0] * fx_ + Rv[1, 1] * fy_ + Rv[1, 2] * fz_ + tv[1]
+    ccz = Rv[2, 0] * fx_ + Rv[2, 1] * fy_ + Rv[2, 2] * fz_ + tv[2]
+    inv_z = 1.0 / ccz
+    iu = jnp.floor(ccx * intr.fx * inv_z + intr.cx - 0.5)
+    iv = jnp.floor(ccy * intr.fy * inv_z + intr.cy - 0.5)
+    far_mask = far_rows & (inv_z >= 0) & (iu > 1) & (iu < W - 1) & (iv > 1) & (iv < H - 1)
     w_new = jnp.minimum(wb + 1.0, float(cfg.max_weight))
     # far branch: tsdf sample = (1, 0) (TsdfFusion.cu:154-155)
     val_far = (vb * wb + 1.0) / (wb + 1.0)
     grd_far = (gb * wb) / (wb + 1.0)
-    vb = jnp.where(far_rows, val_far, vb)
-    gb = jnp.where(far_rows, grd_far, gb)
-    wb = jnp.where(far_rows, w_new, wb)
+    vb = jnp.where(far_mask, val_far, vb)
+    gb = jnp.where(far_mask, grd_far, gb)
+    wb = jnp.where(far_mask, w_new, wb)
 
     # ---- ACTIVE pass: compact, gather rows, exact update, scatter ---------
     active = cls == 2

@@ -282,6 +282,7 @@ def _process_frame_sharded(
             out, overflow = sharded_integrate_rows(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 config.bi_interpolate_threshold, mesh, brick_cap=cap,
+                classify_fine=config.fusion_classify_fine,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -293,6 +294,7 @@ def _process_frame_sharded(
                         v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                         config.bi_interpolate_threshold, mesh,
                         brick_cap=nb_local,
+                        classify_fine=config.fusion_classify_fine,
                     )[0],
                     lambda v: out,
                     vol,
@@ -308,6 +310,7 @@ def _process_frame_sharded(
                 config.bi_interpolate_threshold, mesh,
                 fusion_mode=config.fusion_mode,
                 brick_cap=max(256, config.fusion_brick_cap // n),
+                classify_fine=config.fusion_classify_fine,
             )
 
     volume, fusion_overflow = jax.lax.cond(

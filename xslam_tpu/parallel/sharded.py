@@ -44,6 +44,7 @@ def _halo_width(cfg: fusion.VolumeConfig, local_x: int) -> int:
 def sharded_integrate(
     vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
     fusion_mode: str = "dense", brick_cap: int = 2048,
+    classify_fine: bool = False,
 ):
     """Per-slab fusion; the only communication is the psum'd overflow flag.
     ``fusion_mode="brick"`` runs the brick-compacted variant per shard (each
@@ -59,7 +60,7 @@ def sharded_integrate(
             out, overflow = fusion_brick.integrate_brick(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 bi_threshold=bi_threshold, cap=brick_cap,
-                x_offset=idx * local_x,
+                x_offset=idx * local_x, classify_fine=classify_fine,
             )
         else:
             out = fusion.integrate(
@@ -229,7 +230,7 @@ def _brick_row_specs():
 
 def sharded_integrate_rows(
     bvol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
-    brick_cap: int = 2048,
+    brick_cap: int = 2048, classify_fine: bool = False,
 ):
     """Per-slab brick fusion over a row-sharded BrickVolume (rows are
     bx-major, so a contiguous row range is an X-slab). Communication: the
@@ -248,7 +249,7 @@ def sharded_integrate_rows(
         out, overflow = fusion_brick.integrate_rows(
             vol, depth_m, r_v2c, t_v2c, intr, local_cfg,
             bi_threshold=bi_threshold, cap=brick_cap,
-            x_offset=idx * local_x,
+            x_offset=idx * local_x, classify_fine=classify_fine,
         )
         overflow = jax.lax.psum(overflow.astype(jnp.int32), SPACE_AXIS) > 0
         return out, overflow
