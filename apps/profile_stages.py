@@ -140,7 +140,8 @@ def main():
     from xslam_tpu.ops import raycast, raycast_bricks
 
     config = SlamConfig(
-        volume_layout="brick", fusion_mode="brick", fusion_brick_cap=6144,
+        volume_layout="brick", fusion_mode="brick", fusion_brick_cap=2560,
+        fusion_overflow="dense",
         raycast_normals="screen", raycast_march="skip",
         model_map_level=1, icp_fixed_assoc=True,
     )

@@ -63,7 +63,9 @@ MEASURED = {
         "march": 8.3,  # temporal (depth-anchored window repair)
         "refine": 13.5,  # pair taps
         "icp": 2.5,
-        "fusion": 16.4,  # brick rows, cap 4096 (25.8 at the old cap 6144)
+        # brick rows, cap 2560 (measured 25.8 at cap 6144 = the 8.5 ns/
+        # gather model within 4%; scaled by cap)
+        "fusion": 11.1,
         "misc": 2.1,  # pair table + skip rows + camera rays
     },
     # replicated: every chip does the full-frame preprocessing

@@ -78,12 +78,15 @@ class SlamConfig:
     raycast_hier_window: int = 12
     # temporal-march knobs: window length (march steps) around the
     # depth/prev-hit anchor, and the finite-anchor fraction below which the
-    # frame refreshes with a full hier2_skip march instead. Window 8 vs 12
-    # measured identical ATE on the canonical bench and the realistic
-    # 300-frame runs at -2.6 ms/frame (BASELINE.md round 4) — the anchors
-    # are depth-primary, so the window only absorbs noise + pose error +
-    # fusion smoothing, not inter-frame motion.
-    raycast_temporal_window: int = 8
+    # frame refreshes with a full hier2_skip march instead. Window 8 is
+    # -2.6 ms/frame at identical ATE on the clean bench but FAILS the
+    # realistic 300-frame run's noisy tail (10.2 mm, 6 rejected frames vs
+    # 7.25 mm / 0 at window 12 — BASELINE.md round 4): during frozen-pose
+    # stretches the depth anchors track the TRUE camera while the rays use
+    # the frozen pose, and the widening mismatch needs the window-12
+    # margin to keep the model maps alive until ICP re-acquires. 12 is the
+    # validated default; 8 is a clean-sequence speed opt-in.
+    raycast_temporal_window: int = 12
     raycast_temporal_min_coverage: float = 0.5
     # skip-field cell edge (voxels) for the brick-layout skip march: 8 =
     # per-brick distances; 4 = 4^3 sub-brick distances — the fine-step band
