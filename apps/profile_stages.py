@@ -61,9 +61,31 @@ def lap(fn, *args, reps=3, loop=20):
         leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "reshape")]
         fetch(leaves[0])
         ts.append((time.perf_counter() - t0) / loop)
-    # subtract the measured per-loop floor (dispatch ~1.5 ms is inherent to
-    # any per-stage program; the one closing fetch ~25 ms amortizes /loop)
-    return max(min(ts) - 0.025 / loop, 0.0), out
+    # subtract the per-dispatch floor measured IN THIS RUN (the relay's
+    # floor drifts between ~1.5 and ~5 ms across sessions) + the one
+    # closing fetch amortized over the loop
+    return max(min(ts) - _dispatch_floor() - 0.025 / loop, 0.0), out
+
+
+_FLOOR = [None]
+
+
+def _dispatch_floor(n=40):
+    """Per-dispatch floor of a compute-free program, measured once per run."""
+    if _FLOOR[0] is None:
+        import jax
+        import jax.numpy as jnp
+
+        nul = jax.jit(lambda x: x + 1.0)
+        x = nul(jnp.zeros((8, 128), jnp.float32))
+        fetch(x)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = nul(x)
+        fetch(x)
+        _FLOOR[0] = max((time.perf_counter() - t0 - 0.025) / n, 0.0)
+        print(f"per-dispatch floor this run: {1e3 * _FLOOR[0]:.2f} ms", flush=True)
+    return _FLOOR[0]
 
 
 def device_time(fn, *args, scan_n=8, reps=3):
