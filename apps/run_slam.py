@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--sharded", action="store_true", help="use the multi-chip engine")
     ap.add_argument("--frames", type=int, default=None, help="override end_frame")
     ap.add_argument(
+        "--mesh", choices=("tetra", "mc"), default=None,
+        help="export the final isosurface mesh (output/mesh.ply): 'tetra' = "
+        "marching tetrahedra, 'mc' = full 256-case marching cubes "
+        "(ops/extract.py)",
+    )
+    ap.add_argument(
         "--scan", type=int, default=0, metavar="K",
         help="process frames in on-device lax.scan chunks of K (one dispatch "
         "per chunk instead of per frame — amortizes the ~30 ms relay "
@@ -173,6 +179,23 @@ def main():
             np.asarray(pc.normals)[:n],
         )
         print(f"exported {n} points")
+
+    if args.mesh:
+        import jax
+
+        from xslam_tpu.io.ply import export_ply_mesh
+        from xslam_tpu.ops.extract import extract_mesh, extract_mesh_mc
+
+        fn = extract_mesh_mc if args.mesh == "mc" else extract_mesh
+        mesh = jax.jit(
+            lambda vol: fn(vol, engine.vol_cfg, capacity=2_000_000)
+        )(engine.dense_volume(state) if hasattr(engine, "dense_volume") else state.volume)
+        k = int(mesh.count)
+        os.makedirs(out_dir, exist_ok=True)
+        export_ply_mesh(
+            os.path.join(out_dir, "mesh.ply"), np.asarray(mesh.vertices)[:k]
+        )
+        print(f"exported {k} {args.mesh} triangles")
 
     if timed_frames:
         print(f"mean frame time = {total_time / timed_frames:.3f} ms")

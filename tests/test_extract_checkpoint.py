@@ -134,3 +134,74 @@ def test_mesh_ply_export(tmp_path):
         head = f.read(400)
     assert f"element vertex {3*n}" in head
     assert f"element face {n}" in head
+
+
+def test_marching_cubes_256_sphere():
+    """Full 256-case MC (derived table): on a synthetic sphere TSDF the
+    mesh must be watertight (every edge shared by exactly 2 triangles —
+    this pins the face-saddle consistency rule), lie on the isosurface,
+    be outward-oriented, and agree with the marching-tetrahedra mesh's
+    surface area."""
+    import jax
+    import jax.numpy as jnp
+
+    from xslam_tpu.ops.extract import extract_mesh, extract_mesh_mc
+    from xslam_tpu.ops.fusion import VolumeConfig, VolumeState
+
+    n = 48
+    vsz = 0.05
+    R = 0.8
+    c = (n // 2) * vsz
+    g = (np.arange(n) + 0.5) * vsz
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    dist = np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2)
+    trunc = 3 * vsz
+    sdf = np.clip((dist - R) / trunc, -1.0, 1.0).astype(np.float32)
+    vol = VolumeState(
+        value=jnp.asarray(sdf), grad=jnp.zeros_like(jnp.asarray(sdf)),
+        weight=jnp.ones((n, n, n), jnp.float32),
+    )
+    cfg = VolumeConfig((n, n, n), vsz, trunc, 100)
+
+    mc = jax.jit(lambda v: extract_mesh_mc(v, cfg, capacity=60_000))(vol)
+    mt = jax.jit(lambda v: extract_mesh(v, cfg, capacity=60_000))(vol)
+    k = int(mc.count)
+    tris = np.asarray(mc.vertices)[:k]
+    assert k > 2000
+
+    # watertight: every undirected edge appears exactly twice
+    keys = np.round(tris / (vsz * 1e-6)).astype(np.int64)  # exact-ish keys
+    edge_count = {}
+    for tri in keys:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            e = (tuple(tri[a]), tuple(tri[b]))
+            e = e if e[0] <= e[1] else (e[1], e[0])
+            edge_count[e] = edge_count.get(e, 0) + 1
+    counts = np.array(list(edge_count.values()))
+    assert (counts == 2).all(), (
+        f"non-manifold edges: {np.unique(counts, return_counts=True)}"
+    )
+
+    # vertices on the isosurface (|dist - R| well under a voxel)
+    verts = tris.reshape(-1, 3)
+    r = np.linalg.norm(verts - c, axis=-1)
+    assert np.abs(r - R).max() < 0.6 * vsz
+
+    # outward orientation for the vast majority (sphere: normal ~ radial)
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    nrm = np.cross(e1, e2)
+    radial = tris.mean(1) - c
+    dots = (nrm * radial).sum(-1)
+    assert (dots > 0).mean() > 0.99, (dots > 0).mean()
+
+    def area(t):
+        return 0.5 * np.linalg.norm(
+            np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=-1
+        ).sum()
+
+    a_mc = area(tris)
+    a_mt = area(np.asarray(mt.vertices)[: int(mt.count)])
+    a_true = 4 * np.pi * R * R
+    assert abs(a_mc - a_true) / a_true < 0.03, (a_mc, a_true)
+    assert abs(a_mc - a_mt) / a_true < 0.05, (a_mc, a_mt)

@@ -9,10 +9,11 @@ buffer — deterministic, race-free, and XLA-friendly (SURVEY.md §2.E row 5).
 Mesh extraction: the reference carries a classic 256-case marching-cubes
 kernel (``extractMeshKernal``, ExtractPointCloud.cu:364-715) that is declared
 but never invoked by the public API (``ExportPointCloud`` uses points +
-normals only, KinectFusionReconstruction.cpp:334-372). We provide the same
-capability as *marching tetrahedra* (6 tets/cell, 3-bit case index): no
-256x16 divergent table lookups, a uniform vectorizable code path — the
-TPU-native choice.
+normals only, KinectFusionReconstruction.cpp:334-372). We provide BOTH: the
+TPU-native default is *marching tetrahedra* (6 tets/cell, 3-bit case index —
+a uniform vectorizable code path), and :func:`extract_mesh_mc` is the full
+256-case marching cubes with a table DERIVED at import (face-consistent
+saddle rule, watertightness pinned by test) rather than transcribed.
 """
 
 from __future__ import annotations
@@ -231,6 +232,152 @@ def extract_mesh(
             mask_all.append(m)
 
     tris = jnp.concatenate(tris_all)  # (M, 3, 3)
+    mask = jnp.concatenate(mask_all)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity)
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.zeros((capacity + 1, 3, 3), jnp.float32).at[dest].set(tris)
+    return Mesh(vertices=buf[:capacity], count=count)
+
+
+# ------------------------------------------------------------- mesh (MC-256)
+# Full 256-case marching cubes (the reference's extractMeshKernal capability,
+# ExtractPointCloud.cu:364-715 — dead code in its own public path). The
+# triangle table is DERIVED here rather than transcribed: for every 8-bit
+# corner-sign case, each cube face contributes marching-squares segments
+# between its crossing edges (the 4-crossing face saddle always isolates the
+# cycle's odd corners — neighbouring cells see the shared face with the same
+# cyclic order, so the choice is consistent and the mesh watertight); the
+# segments form degree-2 loops over the 12 cube edges (each crossing edge
+# belongs to exactly 2 faces), which are fan-triangulated and oriented
+# toward the outside (positive TSDF) by the edge-midpoint normal test.
+
+# 12 cube edges as corner-id pairs (x-, y-, z-aligned groups)
+_MC_EDGES = _np.array(
+    [[0, 1], [2, 3], [4, 5], [6, 7],
+     [0, 2], [1, 3], [4, 6], [5, 7],
+     [0, 4], [1, 5], [2, 6], [3, 7]],
+    _np.int32,
+)
+
+
+def _build_mc_table():
+    eid = {frozenset(map(int, e)): i for i, e in enumerate(_MC_EDGES)}
+    faces = [(0, 2, 6, 4), (1, 3, 7, 5), (0, 1, 5, 4),
+             (2, 3, 7, 6), (0, 1, 3, 2), (4, 5, 7, 6)]
+    mids = _MC_EDGES.astype(_np.float64)
+    mids = 0.5 * (_CORNERS[mids[:, 0].astype(int)] + _CORNERS[mids[:, 1].astype(int)])
+    table = []
+    max_t = 0
+    for case in range(256):
+        inside = [(case >> c) & 1 for c in range(8)]
+        segs = []
+        for cyc in faces:
+            pts = []
+            for k in range(4):
+                a, b = cyc[k], cyc[(k + 1) % 4]
+                if inside[a] != inside[b]:
+                    pts.append(eid[frozenset((a, b))])
+            if len(pts) == 2:
+                segs.append((pts[0], pts[1]))
+            elif len(pts) == 4:
+                # saddle: isolate cyc[1] and cyc[3] (consistent across the
+                # two cells sharing this face — same cyclic order)
+                segs.append((pts[0], pts[1]))
+                segs.append((pts[2], pts[3]))
+        # stitch degree-2 segments into closed loops over edge ids
+        adj = {}
+        for a, b in segs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        seen = set()
+        tris = []
+        ci = [c for c in range(8) if inside[c]]
+        co = [c for c in range(8) if not inside[c]]
+        if ci and co:
+            d_out = _CORNERS[co].mean(0) - _CORNERS[ci].mean(0)
+            for start in list(adj):
+                if start in seen:
+                    continue
+                loop = [start]
+                seen.add(start)
+                prev, cur = None, start
+                while True:
+                    nxt = [n for n in adj[cur] if n != prev]
+                    # both neighbours unvisited at the start: pick either
+                    step = nxt[0] if nxt[0] not in seen or nxt[0] != loop[0] or len(loop) < 3 else nxt[-1]
+                    if step == loop[0] and len(loop) >= 3:
+                        break
+                    prev, cur = cur, step
+                    loop.append(cur)
+                    seen.add(cur)
+                    if len(loop) > 12:
+                        raise AssertionError(f"runaway loop in case {case}")
+                for k in range(1, len(loop) - 1):
+                    i, j, l = loop[0], loop[k], loop[k + 1]
+                    n = _np.cross(mids[j] - mids[i], mids[l] - mids[i])
+                    tris.append([i, l, j] if float(n @ d_out) < 0 else [i, j, l])
+        max_t = max(max_t, len(tris))
+        table.append(tris)
+    out = _np.full((256, max_t, 3), -1, _np.int32)
+    for case, tris in enumerate(table):
+        for t, tri in enumerate(tris):
+            out[case, t] = tri
+    return out
+
+
+_MC_TABLE = _build_mc_table()  # (256, max_tris, 3) edge ids, -1 padded
+
+
+def extract_mesh_mc(
+    vol: VolumeState, cfg: VolumeConfig, capacity: int = 1_000_000
+) -> Mesh:
+    """Isosurface triangles by full 256-case marching cubes over observed
+    cells — same contract as :func:`extract_mesh` (fixed-capacity
+    compacted buffer), classic MC connectivity instead of tetrahedra."""
+    X, Y, Z = vol.value.shape
+    vs = cfg.voxel_size
+
+    def corner(c):
+        dx, dy, dz = int(_CORNERS[c, 0]), int(_CORNERS[c, 1]), int(_CORNERS[c, 2])
+        return (
+            vol.value[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+            vol.weight[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+        )
+
+    Fs, Ws = zip(*[corner(c) for c in range(8)])
+    F = jnp.stack(Fs, -1).reshape(-1, 8)
+    W = jnp.stack(Ws, -1).reshape(-1, 8)
+    observed = jnp.all((W > 0) & (jnp.abs(F) < 1.0), axis=-1)
+
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    cix = jnp.arange(nx * ny * nz, dtype=jnp.int32)
+    base = jnp.stack([cix // (ny * nz), (cix // nz) % ny, cix % nz], -1)
+
+    inside = (F < 0.0).astype(jnp.int32)
+    case = jnp.sum(inside * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
+
+    corners_pos = ((base[:, None, :] + _CORNERS[None, :, :]).astype(jnp.float32) + 0.5) * vs
+    fi = F[:, _MC_EDGES[:, 0]]
+    fj = F[:, _MC_EDGES[:, 1]]
+    denom = jnp.where(fi - fj == 0.0, 1.0, fi - fj)
+    frac = jnp.clip(fi / denom, 0.0, 1.0)[..., None]
+    pi = corners_pos[:, _MC_EDGES[:, 0]]
+    pj = corners_pos[:, _MC_EDGES[:, 1]]
+    e_pts = pi * (1 - frac) + pj * frac  # (cells, 12, 3)
+
+    table = jnp.asarray(_MC_TABLE)  # (256, T, 3)
+    tris_all, mask_all = [], []
+    for t in range(_MC_TABLE.shape[1]):
+        edge_idx = table[case, t]  # (cells, 3)
+        valid = observed & (edge_idx[:, 0] >= 0)
+        verts = jnp.take_along_axis(
+            e_pts, jnp.maximum(edge_idx, 0)[..., None], axis=1
+        )
+        tris_all.append(verts)
+        mask_all.append(valid)
+
+    tris = jnp.concatenate(tris_all)
     mask = jnp.concatenate(mask_all)
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.minimum(pos[-1] + 1, capacity)
