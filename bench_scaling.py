@@ -101,7 +101,7 @@ def main():
         fx=intr.fx, fy=intr.fy, cx=intr.cx, cy=intr.cy,
         tsdf_size=(128, 128, 128), voxel_size=0.06, end_frame=n_frames,
         volume_layout="brick", fusion_mode="brick", fusion_brick_cap=6144,
-        raycast_normals="screen", raycast_march="skip",
+        raycast_normals="screen", raycast_march="temporal",
         model_map_level=1, icp_fixed_assoc=True,
     )
     ds = SyntheticDataset(n_frames=n_frames, intr=intr)
