@@ -172,3 +172,65 @@ def test_classify_fine_matches_coarse_fusion():
     np.testing.assert_array_equal(np.asarray(vol_c.weight), np.asarray(vol_f.weight))
     np.testing.assert_allclose(np.asarray(vol_c.value), np.asarray(vol_f.value), atol=1e-6)
     np.testing.assert_allclose(np.asarray(vol_c.grad), np.asarray(vol_f.grad), atol=1e-6)
+
+
+def test_classifier_tightness_properties():
+    """Perf-critical classifier properties (round 4): the ACTIVE set must
+    stay tight or fusion cost silently regresses (its depth-gather bill is
+    cap*512). Pins: (a) frustum culling — bricks fully behind/outside the
+    view classify NONE even when z-straddling; (b) the masked partial-FAR
+    class exists for partially-visible free space; (c) the ACTIVE count on
+    the small scene stays within the measured envelope."""
+    import jax
+    import jax.numpy as jnp
+
+    from xslam_tpu.csfd.single import lift
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.ops import fusion, fusion_brick
+    from tests.helpers import SMALL_INTR, small_config, small_dataset
+
+    cfg = small_config()
+    vol_cfg = fusion.VolumeConfig(
+        tuple(cfg.tsdf_size), cfg.voxel_size, cfg.trunc_dist,
+        cfg.max_integration_weight,
+    )
+    w2v = np.asarray(cfg.world2volume, np.float32)
+    ds = small_dataset(2)
+    dm = fusion.scale_depth(jnp.asarray(ds.get_depth(0)))
+    c2v = se3.matmul(
+        lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(0), jnp.float32))
+    )
+    v2c = se3.inverse(c2v)
+    R, t = se3.rotation(v2c).v, se3.translation(v2c).v
+    cls = np.asarray(
+        fusion_brick.classify_bricks(dm, R, t, SMALL_INTR, vol_cfg, vol_cfg.resolution)
+    )
+    nb = vol_cfg.resolution[0] // 8
+
+    # (a) brick centers behind the camera plane must be NONE (the camera
+    # sits inside the volume, so such bricks exist)
+    Rm, tm = np.asarray(R), np.asarray(t)
+    centers = (np.stack(np.meshgrid(*[np.arange(nb)] * 3, indexing="ij"), -1)
+               .reshape(-1, 3) * 8 + 4.0) * vol_cfg.voxel_size
+    cz = centers @ Rm[2] + tm[2]
+    behind = cz < -8 * vol_cfg.voxel_size  # clear of the brick half-diagonal
+    assert behind.sum() > 30
+    assert (cls.reshape(-1)[behind] == 0).all(), "behind-camera bricks must be NONE"
+
+    # (b) the partial-FAR class: with uniform far valid depth, bricks
+    # clipped by the frustum boundary in front of the far surface are
+    # provably far on their visible part -> class 3 (not ACTIVE)
+    dm_far = jnp.full_like(dm, 4.0)
+    cls_far = np.asarray(
+        fusion_brick.classify_bricks(
+            dm_far, R, t, SMALL_INTR, vol_cfg, vol_cfg.resolution
+        )
+    )
+    assert (cls_far == 3).sum() > 0, "partial-FAR class unexercised"
+    assert (cls_far == 1).sum() > 0
+
+    # (c) ACTIVE envelope: measured 205-230 on this scene/viewpoint at the
+    # round-4 classifier; a regression past 50% flags a real perf cliff
+    n_active = int((cls == 2).sum())
+    assert n_active < 350, f"ACTIVE set regressed: {n_active}"
+    assert n_active > 50  # sanity: the surface band exists
