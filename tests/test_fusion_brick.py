@@ -234,3 +234,45 @@ def test_classifier_tightness_properties():
     n_active = int((cls == 2).sum())
     assert n_active < 350, f"ACTIVE set regressed: {n_active}"
     assert n_active > 50  # sanity: the surface band exists
+
+
+def test_window_misalignment_regression():
+    """Regression: a footprint whose 2x2 mip window was wide enough
+    (ts >= pr) but MISALIGNED (footprint straddling three cells) used to
+    leak sampled pixels out of the [dmin, dmax] bound and mis-prove a
+    NONE/FAR class — a real 22-voxel dense-vs-brick divergence on this
+    exact pose (apps/probe_classifier_coverage.py, round 5). The fix
+    bumps one mip level when the aligned window fails to cover the
+    footprint bbox."""
+    from tests.helpers import small_scene
+    from xslam_tpu.io.synthetic import render_depth
+
+    cfg, vol_cfg, w2v, _ = _setup(1)
+
+    # trial 9 of the probe's seeded pose sweep (rng default_rng(0))
+    rng = np.random.default_rng(0)
+    for _ in range(9):
+        rng.uniform(-0.4, 0.4, 3), rng.uniform(-0.5, 0.5, 3)
+    ang = rng.uniform(-0.4, 0.4, 3)
+    t = rng.uniform(-0.5, 0.5, 3)
+    c, s = np.cos(ang), np.sin(ang)
+    Rx = np.array([[1, 0, 0], [0, c[0], -s[0]], [0, s[0], c[0]]])
+    Ry = np.array([[c[1], 0, s[1]], [0, 1, 0], [-s[1], 0, c[1]]])
+    Rz = np.array([[c[2], -s[2], 0], [s[2], c[2], 0], [0, 0, 1]])
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = (Rx @ Ry @ Rz).astype(np.float32)
+    c2w[:3, 3] = t
+
+    depth = np.asarray(render_depth(small_scene(), c2w, SMALL_INTR))
+    dm = fusion.scale_depth(jnp.asarray(depth))
+    v2c = np.linalg.inv(w2v @ c2w).astype(np.float32)
+    r, tt = lift(jnp.asarray(v2c[:3, :3])), lift(jnp.asarray(v2c[:3, 3]))
+
+    dense = fusion.integrate(fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg)
+    brick, overflow = fusion_brick.integrate_brick(
+        fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg, cap=4096
+    )
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(dense.weight), np.asarray(brick.weight))
+    np.testing.assert_array_equal(np.asarray(dense.value), np.asarray(brick.value))
+    np.testing.assert_array_equal(np.asarray(dense.grad), np.asarray(brick.grad))

@@ -243,16 +243,37 @@ def classify_bricks(
     u = 0.5 * (umin + umax)
     v = 0.5 * (vmin + vmax)
 
-    # choose the mip whose 2x2-cell window covers the footprint: cell >= pr
-    # (mips are edge-padded, so the window always covers the in-image part)
+    # choose the mip whose 2x2-cell window covers the footprint. cell >= pr
+    # makes the window WIDE enough (2*ts >= the 2*pr footprint) but not
+    # necessarily ALIGNED: the window is anchored at the cell containing
+    # floor(umin), and a 2*pr-wide footprint starting near the end of a
+    # cell straddles THREE cells when pr > ts/2 — the uncovered tail's
+    # depths then escape [dmin, dmax] and can silently flip a far/none
+    # proof (found by apps/probe_classifier_coverage.py: a real
+    # 22-voxel dense-vs-brick divergence on a random pose; regression
+    # test tests/test_fusion_brick.py). Fix: bump one level where the
+    # aligned window fails to cover the clipped footprint bbox — at
+    # level+1 the cell is >= 2*pr, and a <= 2*pr segment anchored at the
+    # cell of its own left edge always fits in 2 such cells, so one bump
+    # provably suffices (re-checked by the probe).
     mips = _depth_mips(depth_m)
     sizes = mips[0]
-    level = jnp.searchsorted(jnp.asarray(sizes, jnp.float32), pr.reshape(-1)).reshape(pr.shape)
-    level_ok = level < len(sizes)
-    level = jnp.clip(level, 0, len(sizes) - 1)
+    sizes_f = jnp.asarray(sizes, jnp.float32)
+    level = jnp.searchsorted(sizes_f, pr.reshape(-1)).reshape(pr.shape)
 
     cu = jnp.clip((u - pr).astype(jnp.int32), 0, W - 1)
     cv = jnp.clip((v - pr).astype(jnp.int32), 0, H - 1)
+
+    ts0 = jnp.asarray(sizes, jnp.int32)[jnp.clip(level, 0, len(sizes) - 1)]
+    end_u = ((cu // ts0) + 2) * ts0
+    end_v = ((cv // ts0) + 2) * ts0
+    covered = (
+        (jnp.clip(umax, 0.0, W - 1.0) < end_u.astype(jnp.float32))
+        & (jnp.clip(vmax, 0.0, H - 1.0) < end_v.astype(jnp.float32))
+    )
+    level = jnp.where(covered, level, level + 1)
+    level_ok = level < len(sizes)
+    level = jnp.clip(level, 0, len(sizes) - 1)
     dmin, dmax, all_valid = _footprint_bounds(mips, level, cu, cv)
 
     # per-brick lambda = |(pixel ray) direction| interval over the footprint
