@@ -308,3 +308,64 @@ def test_schur_ba_cg_sharded_matches(ba_problem):
     np.testing.assert_allclose(
         np.asarray(sharded.anchors), np.asarray(ref.anchors), atol=1e-4
     )
+
+
+def test_pose_graph_cg_matches_dense():
+    """The matrix-free CG pose-graph solver (the production path wired into
+    RecoveringEngine.refine_keyframes) must agree with the dense jacfwd
+    solver on a small loop-closed graph."""
+    import numpy as np
+
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.models.ba import pose_graph_cg, pose_graph_gn
+
+    rng = np.random.default_rng(0)
+    K = 10
+    gt = [np.eye(4)]
+    for _ in range(1, K):
+        xi = np.concatenate([rng.normal(0, 0.3, 3), rng.normal(0, 0.2, 3)])
+        gt.append(gt[-1] @ np.asarray(se3.exp_real(xi.astype(np.float32))))
+    edges = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
+    rel = [np.linalg.inv(gt[i]) @ gt[j] for (i, j) in edges]
+    init = np.stack(
+        [se3.log_real(g.astype(np.float32)) for g in gt]
+    ) + rng.normal(0, 0.05, (K, 6))
+    init[0] = se3.log_real(gt[0].astype(np.float32))
+    e = jnp.asarray(np.asarray(edges, np.int32))
+    rm = jnp.asarray(np.stack(rel).astype(np.float32))
+    out_d = pose_graph_gn(jnp.asarray(init, jnp.float32), e, rm, iters=10)
+    out_c = pose_graph_cg(jnp.asarray(init, jnp.float32), e, rm, iters=10)
+    assert float(out_c.residual_history[-1]) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(out_d.poses), np.asarray(out_c.poses), atol=1e-5
+    )
+
+
+def test_pose_graph_cg_scales_to_1k_keyframes():
+    """O(K + E) memory discipline: 1000 keyframes + loop closures converge
+    (the dense solver would build a 6000x6000 system here)."""
+    import numpy as np
+
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.models.ba import pose_graph_cg
+
+    rng = np.random.default_rng(1)
+    K = 1000
+    gt = np.cumsum(rng.normal(0, 0.05, (K, 6)).astype(np.float32), axis=0)
+    poses_gt = [np.asarray(se3.exp_real(x)) for x in gt]
+    edges = [(k, k + 1) for k in range(K - 1)]
+    rel = [np.linalg.inv(poses_gt[k]) @ poses_gt[k + 1] for k in range(K - 1)]
+    for _ in range(20):
+        i, j = sorted(rng.integers(0, K, 2))
+        if j - i < 10:
+            continue
+        edges.append((int(i), int(j)))
+        rel.append(np.linalg.inv(poses_gt[i]) @ poses_gt[j])
+    init = gt + rng.normal(0, 0.02, (K, 6)).astype(np.float32)
+    init[0] = gt[0]
+    out = pose_graph_cg(
+        jnp.asarray(init), jnp.asarray(np.asarray(edges, np.int32)),
+        jnp.asarray(np.stack(rel).astype(np.float32)), iters=5,
+    )
+    hist = np.asarray(out.residual_history)
+    assert hist[-1] < hist[0] * 1e-3

@@ -276,3 +276,105 @@ def test_window_misalignment_regression():
     np.testing.assert_array_equal(np.asarray(dense.weight), np.asarray(brick.weight))
     np.testing.assert_array_equal(np.asarray(dense.value), np.asarray(brick.value))
     np.testing.assert_array_equal(np.asarray(dense.grad), np.asarray(brick.grad))
+
+
+def test_classify_split_equals_dense_and_tighter():
+    """The footprint-split classifier (per-window-cell far/none tests +
+    MIXED class 4 with per-voxel cell masks) must keep fusion equal to
+    dense (same tolerance envelope as the other classifier tests) while
+    never growing the ACTIVE set."""
+    from tests.helpers import small_scene
+    from xslam_tpu.io.synthetic import render_depth
+    from xslam_tpu.ops.fusion_brick import classify_bricks_full
+
+    cfg, vol_cfg, w2v, ds = _setup(1)
+
+    rng = np.random.default_rng(7)
+    n_mixed = 0
+    for trial in range(8):
+        ang = rng.uniform(-0.4, 0.4, 3)
+        t = rng.uniform(-0.5, 0.5, 3)
+        c, s = np.cos(ang), np.sin(ang)
+        Rx = np.array([[1, 0, 0], [0, c[0], -s[0]], [0, s[0], c[0]]])
+        Ry = np.array([[c[1], 0, s[1]], [0, 1, 0], [-s[1], 0, c[1]]])
+        Rz = np.array([[c[2], -s[2], 0], [s[2], c[2], 0], [0, 0, 1]])
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = (Rx @ Ry @ Rz).astype(np.float32)
+        c2w[:3, 3] = t
+        depth = np.asarray(render_depth(small_scene(), c2w, SMALL_INTR))
+        dm = fusion.scale_depth(jnp.asarray(depth))
+        v2c = np.linalg.inv(w2v @ c2w).astype(np.float32)
+        r, tt = lift(jnp.asarray(v2c[:3, :3])), lift(jnp.asarray(v2c[:3, 3]))
+
+        dense = fusion.integrate(
+            fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg
+        )
+        brick, overflow = fusion_brick.integrate_brick(
+            fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg,
+            cap=4096, classify_split=True,
+        )
+        assert not bool(overflow)
+        np.testing.assert_array_equal(
+            np.asarray(dense.weight), np.asarray(brick.weight)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.value), np.asarray(brick.value), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.grad), np.asarray(brick.grad), atol=1e-5
+        )
+
+        co = np.asarray(fusion_brick.classify_bricks_full(
+            dm, jnp.asarray(v2c[:3, :3]), jnp.asarray(v2c[:3, 3]),
+            SMALL_INTR, vol_cfg, vol_cfg.resolution, split=False,
+        ).cls)
+        cn = np.asarray(fusion_brick.classify_bricks_full(
+            dm, jnp.asarray(v2c[:3, :3]), jnp.asarray(v2c[:3, 3]),
+            SMALL_INTR, vol_cfg, vol_cfg.resolution, split=True,
+        ).cls)
+        assert (cn == 2).sum() <= (co == 2).sum()
+        n_mixed += int((cn == 4).sum())
+
+
+def test_classify_split_mixed_class_fires_and_is_exact():
+    """A cell-aligned depth step (near half / far half) makes whole window
+    cells provably-far next to provably-behind-band cells: the MIXED class
+    (4) must fire and its per-voxel cell-bit far/skip masking must keep
+    fusion bit-consistent with dense (the class-4 code path is otherwise
+    unreachable on smooth scenes)."""
+    cfg, vol_cfg, w2v, _ = _setup(1)
+    H, W = SMALL_INTR.height, SMALL_INTR.width
+
+    # synthetic depth: near strip (1.0 m) then far (4.2 m), the step at
+    # column 64 — a multiple of every mip tile size, so whole window cells
+    # fall purely-near or purely-far (probed: 5 MIXED bricks fire here)
+    depth_mm = np.full((H, W), 4200, np.uint16)
+    depth_mm[:, :64] = 1000
+
+    # camera at the volume centre looking down +z (identity c2w then w2v)
+    c2w = np.eye(4, dtype=np.float32)
+    dm = fusion.scale_depth(jnp.asarray(depth_mm))
+    v2c = np.linalg.inv(w2v @ c2w).astype(np.float32)
+    r, tt = lift(jnp.asarray(v2c[:3, :3])), lift(jnp.asarray(v2c[:3, 3]))
+
+    aux = fusion_brick.classify_bricks_full(
+        dm, jnp.asarray(v2c[:3, :3]), jnp.asarray(v2c[:3, 3]),
+        SMALL_INTR, vol_cfg, vol_cfg.resolution, split=True,
+    )
+    n_mixed = int((np.asarray(aux.cls) == 4).sum())
+    assert n_mixed > 0, "MIXED class did not fire on the aligned depth step"
+
+    dense = fusion.integrate(
+        fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg
+    )
+    brick, overflow = fusion_brick.integrate_brick(
+        fusion.create_volume(vol_cfg), dm, r, tt, SMALL_INTR, vol_cfg,
+        cap=4096, classify_split=True,
+    )
+    assert not bool(overflow)
+    np.testing.assert_array_equal(
+        np.asarray(dense.weight), np.asarray(brick.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.value), np.asarray(brick.value), atol=1e-5
+    )

@@ -136,3 +136,83 @@ def test_recovery_wraps_sharded_engine():
     ]
     assert descended, f"no descending relocalization: {eng.recovery_events}"
     assert errs[-1] < 60.0, f"end error {errs[-1]:.0f} mm: {errs}"
+
+
+def test_depth_icp_recovers_relative_pose():
+    """The loop-closure VERIFIER (host-side projective point-to-plane ICP,
+    models/recovery.py::_depth_icp) must refine a perturbed seed to the
+    true relative pose between two rendered views."""
+    from tests.helpers import SMALL_INTR, small_scene
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.io.synthetic import render_depth
+    from xslam_tpu.models.recovery import _depth_icp
+
+    scene = small_scene()
+    Ta = np.eye(4, dtype=np.float32)
+    xi = np.array([0.02, -0.03, 0.01, 0.04, -0.02, 0.05], np.float32)
+    Tb = Ta @ np.asarray(se3.exp_real(xi))
+    da = (np.asarray(render_depth(scene, Ta, SMALL_INTR))).astype(np.uint16)
+    db = (np.asarray(render_depth(scene, Tb, SMALL_INTR))).astype(np.uint16)
+
+    T_true = np.linalg.inv(Ta) @ Tb
+    seed = T_true @ np.asarray(
+        se3.exp_real(np.array([0.01, 0.015, -0.01, 0.02, -0.015, 0.02], np.float32))
+    )
+    T, inlier_frac, rms = _depth_icp(da, db, seed, SMALL_INTR)
+    assert inlier_frac > 0.6
+    assert rms < 0.02
+    assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.01
+    assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.01
+
+
+def test_loop_detection_fires_on_revisit():
+    """Pose-proximity proposal + depth-overlap verification must append a
+    loop edge when the trajectory returns near an old keyframe, and must
+    NOT fire on a non-revisiting chain."""
+    from tests.helpers import SMALL_INTR, small_config, small_scene
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.io.synthetic import render_depth
+    from xslam_tpu.models.recovery import RecoveringEngine
+
+    scene = small_scene()
+    cfg = small_config(
+        loop_detect=True, loop_min_gap=4, keyframe_dist=1e-6,
+        keyframe_angle_deg=1e-6,
+    )
+
+    class _Stub:  # engine surface unused by the keyframe/loop machinery
+        intr = SMALL_INTR
+        vol_cfg = None
+
+        def __init__(self, c):
+            pass
+
+    eng = RecoveringEngine.__new__(RecoveringEngine)
+    eng.config = cfg
+    eng.intr = SMALL_INTR
+    eng.keyframes = []
+    eng.loop_edges = []
+    eng._frame_index = 0
+
+    # a walk that steps away then returns to the start pose
+    offsets = [
+        np.array([0.0, 0.0, 0.0]),
+        np.array([0.25, 0.0, 0.0]),
+        np.array([0.5, 0.0, 0.0]),
+        np.array([0.5, 0.25, 0.0]),
+        np.array([0.25, 0.25, 0.0]),
+        np.array([0.02, 0.01, 0.0]),  # revisit of keyframe 0
+    ]
+    for i, off in enumerate(offsets):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = off
+        depth = np.asarray(render_depth(scene, c2w, SMALL_INTR)).astype(np.uint16)
+        eng._frame_index = i
+        eng._maybe_keyframe(c2w, depth)
+
+    assert len(eng.keyframes) == 6
+    assert len(eng.loop_edges) >= 1
+    j, k, T = eng.loop_edges[-1]
+    assert k == 5 and j <= 1
+    T_true = np.linalg.inv(eng.keyframes[j].camera2world) @ eng.keyframes[k].camera2world
+    assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.02

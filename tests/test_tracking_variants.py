@@ -85,3 +85,52 @@ def test_rpe_bounded():
     gt = [ds.get_pose(i) for i in range(6)]
     rpe = rpe_rmse(eng.pose_log, gt)
     assert rpe < 0.02, rpe
+
+
+def test_refine_reuse_tracks():
+    """raycast_refine='reuse' (march-sample secant + one-trilinear Newton
+    polish, ops/raycast.py::refine_from_samples) must track within the
+    approximation envelope of the exact two-trilinear secant on the small
+    workload. On this coarse-voxel fixture it is in fact tighter: the exact
+    path's trilinear sign gate (ft>=0 & ftdt<=0) thins the model maps at
+    0.12 m voxels, while reuse accepts every march-bracketed crossing."""
+    import numpy as np
+
+    from tests.helpers import small_config, small_dataset
+    from xslam_tpu.models.kinfu import XSlamEngine
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    ds = small_dataset(8, degrees_per_frame=1.0)
+    ates = {}
+    for refine in ("secant2", "reuse"):
+        cfg = small_config(
+            end_frame=8, volume_layout="brick", fusion_mode="brick",
+            raycast_march="temporal", raycast_normals="screen",
+            model_map_level=1, icp_fixed_assoc=True,
+            fusion_brick_cap=512, fusion_overflow="dense",
+            raycast_refine=refine,
+        )
+        eng = XSlamEngine(cfg)
+        st = eng.init_state()
+        poses = []
+        for i in range(8):
+            st, res = eng.process_frame(st, ds.get_depth(i))
+            poses.append(np.asarray(res.camera2world.v))
+        gt = normalize_to_first([ds.get_pose(i) for i in range(8)])
+        ates[refine] = ate_rmse(normalize_to_first(poses), gt)
+    # reuse must be no worse than the exact secant + margin on this fixture
+    assert ates["reuse"] <= ates["secant2"] * 1.25 + 0.005, ates
+
+
+def test_refine_reuse_requires_temporal_screen():
+    import pytest
+
+    from tests.helpers import small_config
+    from xslam_tpu.models.kinfu import XSlamEngine
+
+    cfg = small_config(
+        volume_layout="brick", fusion_mode="brick", raycast_march="hier_skip",
+        raycast_refine="reuse", raycast_normals="screen",
+    )
+    with pytest.raises(ValueError):
+        XSlamEngine(cfg)

@@ -116,6 +116,16 @@ class SlamConfig:
     # bit-identical, tests/test_bricks.py::
     # test_raycast_bricks_pair_taps_bit_identical).
     raycast_pair_taps: bool = True
+    # refinement strategy after the march finds a bracketing crossing:
+    # "secant2" = two exact dual trilinears (ft, ftdt) + dual secant
+    # (reference semantics, RayCaster.cu:245-261, bit-faithful
+    # derivatives); "reuse" = secant on the march's OWN bracketing samples
+    # + ONE exact dual trilinear as a Newton polish (half the refinement
+    # gathers; first-order-consistent derivative slope — see
+    # ops/raycast.py::refine_from_samples). "reuse" requires
+    # raycast_march='temporal' + raycast_normals='screen'; approximation
+    # class, validated like the hier/temporal marches.
+    raycast_refine: str = "secant2"
     # fetch each refinement trilinear cell's (z, z+1) tap pair of BOTH
     # planes as ONE 4-wide row gather from an interleave_vg4 quad table
     # (4 gather issues per dual trilinear — half of pair taps' 8;
@@ -149,6 +159,16 @@ class SlamConfig:
     # ACTIVE set, ~8x the classification arithmetic — see
     # ops/fusion_brick.py::classify_bricks_fine). Off: per-brick tests.
     fusion_classify_fine: bool = False
+    # footprint-SPLIT classification (ops/fusion_brick.py::
+    # classify_bricks_full): run the far/none interval tests per
+    # 2x2-window cell so depth/lambda intervals decouple across
+    # discontinuities, and emit the MIXED class (4) whose rows take the
+    # elementwise far update under a per-voxel window-cell bit mask —
+    # strictly conservative, bit-equality-tested against dense fusion,
+    # pure VPU cost. Shrinks the ACTIVE set (= the depth-gather bill,
+    # cap*512) beyond the round-4 classifier. classify_fine takes
+    # precedence when both are set.
+    fusion_classify_split: bool = False
     # what to do when a frame's ACTIVE bricks exceed fusion_brick_cap:
     # "flag" = report it in FrameResult.fusion_overflow (callers decide);
     # "dense" = automatically re-integrate the frame with the exact dense
@@ -204,6 +224,19 @@ class SlamConfig:
     # feeds pose-graph refinement (models/recovery.py, models/ba.py)
     keyframe_dist: float = 0.15
     keyframe_angle_deg: float = 10.0
+    # loop-closure DETECTION (models/recovery.py::_detect_loops): on every
+    # new keyframe, earlier keyframes >= loop_min_gap back whose pose lies
+    # within loop_proximity (m) / loop_max_angle_deg are revisit
+    # candidates; each is verified by a host-side depth-overlap
+    # point-to-plane ICP check and accepted as a loop edge when the final
+    # inlier fraction / plane-residual RMS pass. Off by default (the
+    # reference has no backend at all); enabled by the backend configs.
+    loop_detect: bool = False
+    loop_min_gap: int = 8
+    loop_proximity: float = 0.45
+    loop_max_angle_deg: float = 40.0
+    loop_min_inlier_frac: float = 0.45
+    loop_max_rms: float = 0.05
 
     @property
     def trunc_dist(self) -> float:

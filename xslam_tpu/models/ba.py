@@ -94,6 +94,104 @@ def pose_graph_gn(
     return PoseGraphResult(poses=poses_flat.reshape(K, 6), residual_history=hist)
 
 
+def pose_graph_cg(
+    poses_init: jnp.ndarray,
+    edges: jnp.ndarray,
+    rel_meas: jnp.ndarray,
+    iters: int = 10,
+    damping: float = 1e-6,
+    cg_iters: int = 50,
+) -> PoseGraphResult:
+    """Scalable pose-graph Gauss-Newton: edge-wise Jacobians + matrix-free
+    preconditioned CG on the normal equations — O(K + E) memory.
+
+    :func:`pose_graph_gn` builds a dense ``jacfwd`` Jacobian and solves a
+    dense 6Kx6K system: exact, but quadratic memory/cubic solve beyond a
+    few hundred keyframes. This variant (the production path wired into
+    ``RecoveringEngine.refine_keyframes``) keeps only per-edge 6x6 Jacobian
+    blocks ``(Ji, Jj)`` and evaluates ``H @ x`` as two segment-sum passes
+    over edges — the same matrix-free discipline as :func:`schur_ba_cg`;
+    tested against the dense solver on small graphs and at 1k+ keyframes
+    (tests/test_ba.py). Keyframe 0 is gauge-fixed; Jacobi 6x6 block
+    preconditioner."""
+    K = poses_init.shape[0]
+    E = edges.shape[0]
+    rel_inv = jnp.linalg.inv(rel_meas)
+    ei, ej = edges[:, 0], edges[:, 1]
+
+    gauge = jnp.concatenate(
+        [jnp.zeros((1, 6), jnp.float32), jnp.ones((K - 1, 6), jnp.float32)]
+    )
+
+    def body(poses, _):
+        def one(e):
+            xi, xj = poses[ei[e]], poses[ej[e]]
+            r = _rel_residual(xi, xj, rel_inv[e])
+            Ji = jax.jacfwd(lambda x: _rel_residual(x, xj, rel_inv[e]))(xi)
+            Jj = jax.jacfwd(lambda x: _rel_residual(xi, x, rel_inv[e]))(xj)
+            return r, Ji, Jj
+
+        rs, Jis, Jjs = jax.vmap(one)(jnp.arange(E))
+
+        def scat(contrib_i, contrib_j):  # (E,6) x2 -> (K,6)
+            out = jnp.zeros((K, 6)).at[ei].add(contrib_i)
+            return out.at[ej].add(contrib_j)
+
+        def jT(J, u):  # (E,6,6), (E,6) -> (E,6)
+            return jnp.einsum("eri,er->ei", J, u, precision=_HI)
+
+        g = scat(jT(Jis, rs), jT(Jjs, rs)) * gauge
+
+        # Jacobi block preconditioner from the H block diagonal
+        Hd = (
+            jnp.zeros((K, 6, 6))
+            .at[ei].add(jnp.einsum("eri,erj->eij", Jis, Jis, precision=_HI))
+            .at[ej].add(jnp.einsum("eri,erj->eij", Jjs, Jjs, precision=_HI))
+        )
+        M_inv = jnp.linalg.inv(Hd + (damping + 1e-8) * jnp.eye(6))
+
+        def matvec(x):
+            x = x * gauge
+            u = (
+                jnp.einsum("eri,ei->er", Jis, x[ei], precision=_HI)
+                + jnp.einsum("eri,ei->er", Jjs, x[ej], precision=_HI)
+            )
+            return (scat(jT(Jis, u), jT(Jjs, u)) + damping * x) * gauge
+
+        def precond(r):
+            return jnp.einsum("kij,kj->ki", M_inv, r, precision=_HI) * gauge
+
+        b = -g
+        x0 = jnp.zeros((K, 6))
+        r0 = b
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_step_fixed(c, _):
+            x, r, p, rz = c
+            hp = matvec(p)
+            php = jnp.sum(p * hp)
+            alpha = jnp.where(php > 0.0, rz / jnp.maximum(php, 1e-30), 0.0)
+            x = x + alpha * p
+            r = r - alpha * hp
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (dx, _, _, _), _ = jax.lax.scan(
+            cg_step_fixed, (x0, r0, p0, rz0), None, length=cg_iters
+        )
+        return poses + dx * gauge, jnp.sum(rs * rs)
+
+    poses, hist = jax.lax.scan(
+        body, jnp.asarray(poses_init, jnp.float32), None, length=iters
+    )
+    return PoseGraphResult(poses=poses, residual_history=hist)
+
+
 # ---------------------------------------------------------------------------
 def build_ba_problem(
     kf_c2w,
@@ -238,6 +336,42 @@ class BAProblem(NamedTuple):
     anchor_idx: jnp.ndarray  # (N,) int32
     meas_cam: jnp.ndarray  # (N, 3)
     meas_normal: Optional[jnp.ndarray] = None  # (N, 3) or None
+    # per-observation weight (None = all ones). Weight-0 rows are inert —
+    # used to PAD problems to a fixed bucket size so re-association rounds
+    # (whose N changes every round) reuse ONE compiled program instead of
+    # paying a 30-350 s remote recompile per round (ADVICE round 4).
+    obs_weight: Optional[jnp.ndarray] = None  # (N,)
+
+
+def pad_problem(problem: BAProblem, bucket: int) -> BAProblem:
+    """Pad a :class:`BAProblem` with zero-weight observations up to
+    ``bucket`` rows (shape-stable across re-association rounds)."""
+    N = int(problem.frame_idx.shape[0])
+    if N > bucket:
+        raise ValueError(f"problem has {N} observations > bucket {bucket}")
+    pad = bucket - N
+    w = (
+        problem.obs_weight
+        if problem.obs_weight is not None
+        else jnp.ones((N,), jnp.float32)
+    )
+    if pad == 0:
+        return problem._replace(obs_weight=w)
+
+    def zpad(a, val=0):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], val, a.dtype)]
+        )
+
+    return BAProblem(
+        frame_idx=zpad(problem.frame_idx),
+        anchor_idx=zpad(problem.anchor_idx),
+        meas_cam=zpad(problem.meas_cam),
+        meas_normal=(
+            None if problem.meas_normal is None else zpad(problem.meas_normal)
+        ),
+        obs_weight=zpad(w),
+    )
 
 
 class BAResult(NamedTuple):
@@ -269,10 +403,16 @@ def _obs_residual_plane(xi, p, meas_cam, meas_normal):
 
 def _residual_fn(problem):
     if problem.meas_normal is None:
-        return lambda xi, p, o: _obs_residual(xi, p, problem.meas_cam[o])
-    return lambda xi, p, o: _obs_residual_plane(
-        xi, p, problem.meas_cam[o], problem.meas_normal[o]
-    )
+        base = lambda xi, p, o: _obs_residual(xi, p, problem.meas_cam[o])
+    else:
+        base = lambda xi, p, o: _obs_residual_plane(
+            xi, p, problem.meas_cam[o], problem.meas_normal[o]
+        )
+    if problem.obs_weight is None:
+        return base
+    # weight-0 rows (bucket padding) contribute exactly nothing: the
+    # residual AND its Jacobians scale by w (weighted least squares)
+    return lambda xi, p, o: problem.obs_weight[o] * base(xi, p, o)
 
 
 def schur_ba(

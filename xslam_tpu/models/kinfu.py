@@ -76,6 +76,13 @@ class XSlamEngine:
             raise ValueError(
                 "raycast_march='temporal' requires volume_layout='brick'"
             )
+        if config.raycast_refine == "reuse" and (
+            config.raycast_march != "temporal" or config.raycast_normals != "screen"
+        ):
+            raise ValueError(
+                "raycast_refine='reuse' requires raycast_march='temporal' "
+                "and raycast_normals='screen'"
+            )
         self.world2volume = np.asarray(config.world2volume, np.float32)
         self.pose_log: List[np.ndarray] = []  # world2camera_record analogue
         self._step = jax.jit(
@@ -390,6 +397,7 @@ def process_frame(
                 bi_threshold=config.bi_interpolate_threshold,
                 cap=config.fusion_brick_cap,
                 classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -400,6 +408,7 @@ def process_frame(
                         v, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                         bi_threshold=config.bi_interpolate_threshold, cap=NB,
                         classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
                     )[0],
                     lambda v: out,
                     vol,
@@ -415,6 +424,7 @@ def process_frame(
                 bi_threshold=config.bi_interpolate_threshold,
                 cap=config.fusion_brick_cap,
                 classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery: redo the frame with the exact dense
@@ -494,6 +504,7 @@ def process_frame(
             temporal_window=config.raycast_temporal_window,
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,
+            refine_mode=config.raycast_refine,
         )
     else:
         vmap0, nmap0 = raycast.raycast(

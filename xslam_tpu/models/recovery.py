@@ -39,6 +39,91 @@ def _host_depth(depth_u16):
     return None if depth_u16 is None else np.asarray(depth_u16)
 
 
+def _depth_maps(depth_u16, intr, z_range=(0.2, 5.0)):
+    """(vertex map, normal map) in camera coords from a u16 depth frame —
+    the numpy twin of preprocess.create_vmap/create_nmap (the same
+    construction models/ba.py::build_ba_problem uses)."""
+    d = np.asarray(depth_u16, np.float32) / 1000.0
+    d[(d < z_range[0]) | (d > z_range[1])] = 0.0
+    H, W = d.shape
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    vm = np.stack(
+        [d * (uu - intr.cx) / intr.fx, d * (vv - intr.cy) / intr.fy, d], axis=-1
+    )
+    vm[d == 0] = np.nan
+    a = np.full_like(vm, np.nan)
+    b = np.full_like(vm, np.nan)
+    a[:, :-1] = vm[:, 1:] - vm[:, :-1]
+    b[:-1, :] = vm[1:, :] - vm[:-1, :]
+    n = np.cross(a, b)
+    with np.errstate(invalid="ignore"):
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    return vm, n
+
+
+def _depth_icp(
+    depth_a, depth_b, T0, intr, stride=6, iters=8, match_dist=0.3,
+):
+    """Host-side projective point-to-plane ICP between two keyframe depth
+    frames: refine the relative pose ``T`` (camera b -> camera a, i.e.
+    ``c2w_a^-1 c2w_b``) from seed ``T0``. The association/residual scheme
+    is the front end's (gated projective association + point-to-plane GN,
+    ``ICP.cu:196-259`` semantics) run once per candidate pair on
+    subsampled points — the loop-closure VERIFIER, cheap enough to run on
+    every revisit candidate. Returns ``(T, inlier_fraction, rms)``; rms is
+    the point-to-plane RMS over the final inlier set."""
+    vm_a, nm_a = _depth_maps(depth_a, intr)
+    vm_b, _ = _depth_maps(depth_b, intr)
+    H, W = vm_a.shape[:2]
+    pts_b = vm_b[stride // 2::stride, stride // 2::stride].reshape(-1, 3)
+    pts_b = pts_b[np.isfinite(pts_b).all(axis=1)]
+    if pts_b.shape[0] < 100:
+        return T0, 0.0, np.inf
+    T = np.asarray(T0, np.float64).copy()
+    inlier_frac, rms = 0.0, np.inf
+    for _ in range(iters):
+        pa = pts_b @ T[:3, :3].T + T[:3, 3]  # b's points in a's camera
+        z = pa[:, 2]
+        ok = z > 0.2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.round(pa[:, 0] * intr.fx / z + intr.cx).astype(np.int64)
+            v = np.round(pa[:, 1] * intr.fy / z + intr.cy).astype(np.int64)
+        ok &= (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        u, v = np.clip(u, 0, W - 1), np.clip(v, 0, H - 1)
+        q = vm_a[v, u]
+        n = nm_a[v, u]
+        ok &= np.isfinite(q).all(axis=1) & np.isfinite(n).all(axis=1)
+        d = pa - q
+        ok &= np.linalg.norm(d, axis=1) < match_dist
+        if ok.sum() < 100:
+            return T.astype(np.float32), 0.0, np.inf
+        r = np.sum(n[ok] * d[ok], axis=1)  # point-to-plane residual
+        p, nn = pa[ok], n[ok]
+        J = np.concatenate([np.cross(p, nn), nn], axis=1)  # (M, 6) [w, t]
+        Hm = J.T @ J + 1e-8 * np.eye(6)
+        g = J.T @ r
+        try:
+            x = -np.linalg.solve(Hm, g)
+        except np.linalg.LinAlgError:
+            return T.astype(np.float32), 0.0, np.inf
+        w, t = x[:3], x[3:]
+        th = np.linalg.norm(w)
+        if th > 1e-12:
+            k = w / th
+            Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+            R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+        else:
+            R = np.eye(3)
+        Tinc = np.eye(4)
+        Tinc[:3, :3] = R
+        Tinc[:3, 3] = t
+        T = Tinc @ T
+        inlier_frac = float(ok.mean())
+        rms = float(np.sqrt(np.mean(r * r)))
+    return T.astype(np.float32), inlier_frac, rms
+
+
 class Keyframe(NamedTuple):
     frame_index: int
     camera2world: np.ndarray  # (4, 4)
@@ -116,6 +201,47 @@ class RecoveringEngine:
         ang = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
         if dt > self.config.keyframe_dist or ang > self.config.keyframe_angle_deg:
             self.keyframes.append(Keyframe(self._frame_index, c2w, _host_depth(depth_u16)))
+            if self.config.loop_detect:
+                self._detect_loops()
+
+    # -- loop-closure detection --------------------------------------------
+    def _detect_loops(self):
+        """Propose revisit candidates by pose-space proximity against the
+        newest keyframe and verify each with a depth-overlap projective ICP
+        check; verified relative poses are appended to ``self.loop_edges``
+        and consumed by :meth:`refine_keyframes` / the Schur-CG backend.
+
+        The reference has no counterpart (it has no backend at all) — this
+        closes the detection half of the SURVEY §2.E north-star loop:
+        without it the pose graph only ever refines odometry chains
+        (round-4 realistic runs all recorded "0 loops")."""
+        k = len(self.keyframes) - 1
+        kf = self.keyframes[k]
+        if kf.depth_u16 is None:
+            return
+        cfg = self.config
+        ck = kf.camera2world
+        cands = []
+        for j in range(0, k - cfg.loop_min_gap + 1):
+            other = self.keyframes[j]
+            if other.depth_u16 is None:
+                continue
+            dt = float(np.linalg.norm(ck[:3, 3] - other.camera2world[:3, 3]))
+            if dt > cfg.loop_proximity:
+                continue
+            cos = (np.trace(other.camera2world[:3, :3].T @ ck[:3, :3]) - 1.0) * 0.5
+            ang = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+            if ang > cfg.loop_max_angle_deg:
+                continue
+            cands.append((dt, j))
+        for _, j in sorted(cands)[:2]:  # closest two candidates
+            other = self.keyframes[j]
+            T0 = np.linalg.inv(other.camera2world) @ ck
+            T, inlier_frac, rms = _depth_icp(
+                other.depth_u16, kf.depth_u16, T0, self.intr
+            )
+            if inlier_frac >= cfg.loop_min_inlier_frac and rms <= cfg.loop_max_rms:
+                self.loop_edges.append((j, k, T.astype(np.float32)))
 
     # -- the drop-in step ---------------------------------------------------
     def init_state(self) -> SlamState:
@@ -252,11 +378,14 @@ class RecoveringEngine:
         loop closures (``self.loop_edges``) are always included;
         ``loop_edges`` are optional extra ``(i, j, T_i^-1 T_j)`` constraints
         (keyframe-list indices). Returns the refined (K, 4, 4) camera2world
-        poses (keyframe 0 gauge-fixed).
+        poses (keyframe 0 gauge-fixed). Solved by the matrix-free
+        :func:`~xslam_tpu.models.ba.pose_graph_cg` — O(K + E) memory,
+        tested at 1k+ keyframes (the dense ``pose_graph_gn`` remains as the
+        small-scale oracle it is verified against).
         """
         import jax.numpy as jnp
 
-        from .ba import pose_graph_gn
+        from .ba import pose_graph_cg
 
         K = len(self.keyframes)
         if K < 2:
@@ -268,7 +397,7 @@ class RecoveringEngine:
         for (i, j, T) in list(self.loop_edges) + list(loop_edges or []):
             edges.append((i, j))
             rel.append(np.asarray(T, np.float32))
-        out = pose_graph_gn(
+        out = pose_graph_cg(
             jnp.asarray(xi),
             jnp.asarray(np.asarray(edges, np.int32)),
             jnp.asarray(np.stack(rel).astype(np.float32)),
@@ -296,7 +425,7 @@ class RecoveringEngine:
         anchors). Returns refined (K, 4, 4) camera2world poses."""
         import jax.numpy as jnp
 
-        from .ba import build_ba_problem, schur_ba_cg
+        from .ba import build_ba_problem, pad_problem, schur_ba_cg
 
         seeded = self.refine_keyframes(iters=10)
         K = len(self.keyframes)
@@ -309,15 +438,37 @@ class RecoveringEngine:
         # correspondences at the refined poses (the fixed-correspondence
         # bias shrinks geometrically — measured 31 -> 7 -> 2.8 -> 1.3 mm on
         # the perturbed-keyframe fixture, tests/test_ba_live.py)
+        bucket = bucket_l = None
         for _ in range(rounds):
             problem, anchors0 = build_ba_problem(
                 poses, depths, self.intr, stride=stride, match_dist=match_dist,
             )
             if problem is None:
                 break
+            # shape-stable rounds: pad the observation count to a bucket
+            # (1.25x the first round's N, rounded up to 4096) so every
+            # round reuses ONE compiled program — re-association changes N
+            # and would otherwise retrace schur_ba_cg per round, a
+            # 30-350 s remote recompile each on TPU (ADVICE round 4).
+            # Anchor/pose counts are stable across rounds by construction
+            # (anchors are rebuilt but L can vary slightly; L is padded by
+            # build-side min_obs filtering only, so bucket L too).
+            N = int(problem.frame_idx.shape[0])
+            if bucket is None:
+                bucket = -(-int(N * 1.25) // 4096) * 4096
+            if N > bucket:
+                bucket = -(-N // 4096) * 4096
+            problem = pad_problem(problem, bucket)
+            # anchors too: padded anchors receive no observations, so their
+            # (damped) Hll blocks are inert and their updates are zero
+            L = anchors0.shape[0]
+            if bucket_l is None or L > bucket_l:
+                bucket_l = -(-int(L * 1.25) // 1024) * 1024
+            anchors_pad = np.zeros((bucket_l, 3), np.float32)
+            anchors_pad[:L] = anchors0
             xi = np.stack([se3.log_real(p) for p in poses]).astype(np.float32)
             out = schur_ba_cg(
-                jnp.asarray(xi), jnp.asarray(anchors0), problem,
+                jnp.asarray(xi), jnp.asarray(anchors_pad), problem,
                 iters=iters, cg_iters=cg_iters,
             )
             poses = [np.asarray(se3.exp_real(x)) for x in np.asarray(out.poses)]

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import builtins
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,14 +72,16 @@ def _depth_mips(depth_m: jnp.ndarray):
     return sizes, mins, maxs, allv
 
 
-def _footprint_bounds(mips, level, cu, cv):
+def _footprint_bounds(mips, level, cu, cv, per_cell: bool = False):
     """2x2-cell conservative (min, max, all_valid) at a chosen mip level.
 
     ``level`` is per-brick. All levels' (min, max, all_valid) cells are
     packed into one concatenated ``(N, 3)`` row table so the selected
     level's 2x2 window costs 4 row gathers per brick (TPU row gathers are
     as cheap as scalar gathers — BASELINE.md), instead of gathering every
-    level and selecting (12 gathers x n_levels)."""
+    level and selecting (12 gathers x n_levels). With ``per_cell`` the
+    four cells' individual (min, max, valid) are returned too (the split
+    classifier's per-sub-window tests)."""
     sizes, mins, maxs, allv = mips
     n = len(sizes)
     rows, offsets, off = [], [], 0
@@ -117,7 +119,21 @@ def _footprint_bounds(mips, level, cu, cv):
     mx = jnp.maximum(jnp.maximum(c[0][..., 1], c[1][..., 1]),
                      jnp.maximum(c[2][..., 1], c[3][..., 1]))
     av = (c[0][..., 2] * c[1][..., 2] * c[2][..., 2] * c[3][..., 2]) > 0.5
+    if per_cell:
+        return mn, mx, av, c, cu0, cv0, ts_arr
     return mn, mx, av
+
+
+class BrickAux(NamedTuple):
+    """Split-classifier output: per-brick class + the window metadata the
+    fusion core needs to apply per-voxel sub-window masks (class 4)."""
+
+    cls: jnp.ndarray  # (nbx, nby, nbz) int32: 0 NONE / 1 FAR / 2 ACTIVE /
+    #                   3 FAR_PARTIAL / 4 MIXED (per-voxel far/none cells)
+    farbits: jnp.ndarray  # int32 4-bit mask: cell (dy, dx) far <=> bit dy*2+dx
+    win_u0: jnp.ndarray  # window origin (pixels)
+    win_v0: jnp.ndarray
+    win_ts: jnp.ndarray  # window cell edge (pixels)
 
 
 def classify_bricks(
@@ -136,6 +152,45 @@ def classify_bricks(
     subcells — smaller footprints select finer depth mips, so the interval
     bounds tighten and the depth-discontinuity ACTIVE cones shrink (see
     :func:`classify_bricks_fine`)."""
+    return classify_bricks_full(
+        depth_m, r_v2c_v, t_v2c_v, intr, cfg, res, x_offset=x_offset,
+        cell=cell, split=False,
+    ).cls
+
+
+def classify_bricks_full(
+    depth_m: jnp.ndarray,
+    r_v2c_v: jnp.ndarray,
+    t_v2c_v: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: VolumeConfig,
+    res: Tuple[int, int, int],
+    x_offset=0,
+    cell: int = BRICK,
+    split: bool = False,
+) -> BrickAux:
+    """:func:`classify_bricks` with the footprint-SPLIT tightening.
+
+    ``split=True`` additionally runs the far/none interval tests per
+    2x2-window CELL (quarter footprints): each cell's own [dmin_i, dmax_i]
+    depth bounds pair with its own (tighter) lambda interval, so the
+    product intervals decouple across depth discontinuities — the residual
+    "interval cone looseness" the round-4 diagnosis measured (2056
+    classified vs 774 ideal ACTIVE bricks). Tightened conclusions, all
+    strictly conservative w.r.t. the exact per-voxel update
+    (``TsdfFusion.cu:85-171`` semantics; bit-equality-tested):
+
+    * NONE if every cell is provably behind-band (``none_i``),
+    * FAR / FAR_PARTIAL if every cell is provably far on valid pixels
+      (``far_i``),
+    * **MIXED (class 4)** if every cell is ``far_i`` OR ``none_i``: the
+      fusion core applies the far update to exactly the voxels whose
+      sampled pixel lands in a far cell (an elementwise per-voxel bit
+      test — zero depth gathers) and provably skips the rest.
+
+    The brick-level global tests are kept OR'd in (they can win when a
+    cell rect pokes outside the footprint bbox), so ``split=True`` is a
+    strict superset of the round-4 classifier."""
     X, Y, Z = res
     nb = (X // cell, Y // cell, Z // cell)
     vs = cfg.voxel_size
@@ -274,7 +329,9 @@ def classify_bricks(
     level = jnp.where(covered, level, level + 1)
     level_ok = level < len(sizes)
     level = jnp.clip(level, 0, len(sizes) - 1)
-    dmin, dmax, all_valid = _footprint_bounds(mips, level, cu, cv)
+    dmin, dmax, all_valid, cells, cu0, cv0, ts_sel = _footprint_bounds(
+        mips, level, cu, cv, per_cell=True
+    )
 
     # per-brick lambda = |(pixel ray) direction| interval over the footprint
     # bbox clipped to the image (sampled pixels are always in-image):
@@ -307,6 +364,68 @@ def classify_bricks(
     # FAR: every voxel in-image, every sample valid, provably sdf > trunc
     sdf_lower = dmin * lam_min - dist_max
     provably_far = proj_ok & all_valid & (sdf_lower > cfg.trunc_dist)
+
+    if split:
+        # per-cell far/none tests: each window cell's own depth bounds
+        # pair with a lambda interval over (cell rect +- the 0.5 px
+        # round-to-sample slack) INTERSECTED with the footprint bbox —
+        # pixels a voxel can sample inside cell i lie in both. Continuous
+        # projections of gated voxels live in (2, W-0.5), so the clip
+        # upper bound is W-0.5 (not W-1).
+        ts_f = ts_sel.astype(jnp.float32)
+        ub_lo, ub_hi = jnp.clip(umin, 0.0, W - 0.5), jnp.clip(umax, 0.0, W - 0.5)
+        vb_lo, vb_hi = jnp.clip(vmin, 0.0, H - 0.5), jnp.clip(vmax, 0.0, H - 0.5)
+        far_cells, none_cells = [], []
+        for ci, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            x0 = ((cu0 + dx) * ts_sel).astype(jnp.float32) - 0.5
+            y0 = ((cv0 + dy) * ts_sel).astype(jnp.float32) - 0.5
+            ux0 = jnp.maximum(jnp.clip(x0, 0.0, W - 0.5), ub_lo)
+            ux1 = jnp.minimum(jnp.clip(x0 + ts_f, 0.0, W - 0.5), ub_hi)
+            uy0 = jnp.maximum(jnp.clip(y0, 0.0, H - 0.5), vb_lo)
+            uy1 = jnp.minimum(jnp.clip(y0 + ts_f, 0.0, H - 0.5), vb_hi)
+            xi_lo, xi_hi = coord_interval(ux0, jnp.maximum(ux1, ux0), intr.cx, intr.fx)
+            yi_lo, yi_hi = coord_interval(uy0, jnp.maximum(uy1, uy0), intr.cy, intr.fy)
+            lam_lo = jnp.sqrt(xi_lo * xi_lo + yi_lo * yi_lo + 1.0)
+            lam_hi = jnp.sqrt(xi_hi * xi_hi + yi_hi * yi_hi + 1.0)
+            mn_i = cells[ci][..., 0]
+            mx_i = cells[ci][..., 1]
+            av_i = cells[ci][..., 2] > 0.5
+            # empty intersection (cell fully outside the bbox) -> no
+            # attributable pixels; a degenerate lam interval is harmless
+            # for attribution but must not prove anything, EXCEPT the
+            # trivially-true cases mn_i = +inf / mx_i = -inf (no valid
+            # depth in the cell at all)
+            empty = (ux1 < ux0) | (uy1 < uy0)
+            far_cells.append(
+                av_i & (
+                    jnp.isposinf(mn_i)
+                    | (~empty & (mn_i * lam_lo - dist_max > cfg.trunc_dist))
+                )
+            )
+            none_cells.append(
+                jnp.isneginf(mx_i)
+                | (~empty & (mx_i * lam_hi - dist_min < -cfg.trunc_dist))
+            )
+        far4 = proj_ok & far_cells[0] & far_cells[1] & far_cells[2] & far_cells[3]
+        none4 = proj_ok & none_cells[0] & none_cells[1] & none_cells[2] & none_cells[3]
+        fn0 = far_cells[0] | none_cells[0]
+        fn1 = far_cells[1] | none_cells[1]
+        fn2 = far_cells[2] | none_cells[2]
+        fn3 = far_cells[3] | none_cells[3]
+        mixed = proj_ok & fn0 & fn1 & fn2 & fn3
+        farbits = (
+            far_cells[0].astype(jnp.int32)
+            + 2 * far_cells[1].astype(jnp.int32)
+            + 4 * far_cells[2].astype(jnp.int32)
+            + 8 * far_cells[3].astype(jnp.int32)
+        )
+        none_by_band = none_by_band | none4
+        provably_far = provably_far | far4
+        mixed = mixed & ~none_by_band & ~provably_far
+    else:
+        mixed = jnp.zeros_like(none_by_band)
+        farbits = jnp.zeros(none_by_band.shape, jnp.int32)
+
     far = provably_far & fully_inside
     # FAR_PARTIAL (class 3): the same proof without full visibility — every
     # IN-IMAGE voxel is provably far (sdf_lower is over the clipped
@@ -319,7 +438,16 @@ def classify_bricks(
     cls = jnp.where(none, 0, 2)
     cls = jnp.where(far & ~none, 1, cls)
     cls = jnp.where(far_partial & ~none, 3, cls)
-    return cls.astype(jnp.int32)
+    cls = jnp.where(mixed & ~none, 4, cls)
+    # classes 1/3 apply the far update row/mask-wide: every cell is far
+    farbits = jnp.where((cls == 1) | (cls == 3), 15, farbits)
+    return BrickAux(
+        cls=cls.astype(jnp.int32),
+        farbits=farbits.astype(jnp.int32),
+        win_u0=(cu0 * ts_sel).astype(jnp.int32),
+        win_v0=(cv0 * ts_sel).astype(jnp.int32),
+        win_ts=ts_sel.astype(jnp.int32),
+    )
 
 
 def classify_bricks_fine(
@@ -387,6 +515,7 @@ def integrate_brick(
     cap: int = 8192,
     x_offset: int = 0,
     classify_fine: bool = False,
+    classify_split: bool = False,
 ):
     """Brick-compacted fusion. Returns (VolumeState, overflowed_flag).
 
@@ -396,13 +525,14 @@ def integrate_brick(
     dense path (the default engine asserts this does not happen on the
     canonical workloads)."""
     res = vol.value.shape
-    classify = classify_bricks_fine if classify_fine else classify_bricks
-    cls = classify(
-        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
-    ).reshape(-1)
+    cls, aux = _classify(
+        depth_m, r_v2c, t_v2c, intr, cfg, res, x_offset, classify_fine,
+        classify_split,
+    )
     vb, gb, wb, overflow = _integrate_rows_core(
         to_bricks(vol.value), to_bricks(vol.grad), to_bricks(vol.weight),
         cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
+        aux=aux,
     )
     out = VolumeState(
         value=from_bricks(vb, res), grad=from_bricks(gb, res), weight=from_bricks(wb, res)
@@ -421,6 +551,7 @@ def integrate_rows(
     cap: int = 8192,
     x_offset: int = 0,
     classify_fine: bool = False,
+    classify_split: bool = False,
 ):
     """Brick-compacted fusion over a persistent brick-major volume
     (:class:`xslam_tpu.ops.bricks.BrickVolume`): same math as
@@ -430,23 +561,49 @@ def integrate_rows(
     from .bricks import BrickVolume
 
     res = cfg.resolution
-    classify = classify_bricks_fine if classify_fine else classify_bricks
-    cls = classify(
-        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
-    ).reshape(-1)
+    cls, aux = _classify(
+        depth_m, r_v2c, t_v2c, intr, cfg, res, x_offset, classify_fine,
+        classify_split,
+    )
     vb, gb, wb, overflow = _integrate_rows_core(
         bvol.value, bvol.grad, bvol.weight,
         cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
+        aux=aux,
     )
     return BrickVolume(value=vb, grad=gb, weight=wb), overflow
 
 
+def _classify(
+    depth_m, r_v2c, t_v2c, intr, cfg, res, x_offset, classify_fine,
+    classify_split,
+):
+    """Shared classifier dispatch: returns (flat cls, flat BrickAux-or-None).
+    ``classify_fine`` (4^3 subcell conjunction) takes precedence over
+    ``classify_split`` (per-window-cell tests + MIXED class)."""
+    if classify_fine:
+        cls = classify_bricks_fine(
+            depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset
+        ).reshape(-1)
+        return cls, None
+    out = classify_bricks_full(
+        depth_m, r_v2c.v, t_v2c.v, intr, cfg, res, x_offset=x_offset,
+        split=classify_split,
+    )
+    aux = (
+        BrickAux(*(a.reshape(-1) for a in out)) if classify_split else None
+    )
+    return out.cls.reshape(-1), aux
+
+
 def _integrate_rows_core(
     vb, gb, wb, cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap,
-    x_offset, res,
+    x_offset, res, aux=None,
 ):
     """Shared fusion core over brick-major rows: FAR pass (elementwise, no
-    gathers) + ACTIVE pass (compact, row-gather, exact update, row-scatter)."""
+    gathers) + ACTIVE pass (compact, row-gather, exact update, row-scatter).
+    ``aux`` (flat :class:`BrickAux`, from the split classifier) enables the
+    MIXED class-4 rows: the far update is additionally masked by a
+    per-voxel window-cell bit test (still zero depth gathers)."""
     X, Y, Z = res
     NB = (X // BRICK) * (Y // BRICK) * (Z // BRICK)
     vs = cfg.voxel_size
@@ -457,8 +614,11 @@ def _integrate_rows_core(
     # (z > 0, floor(img-0.5) in (1, W-1)) from index math: pure VPU work
     # fused into the elementwise update, no gathers. For class-1 rows the
     # mask is provably all-true (fully_inside), keeping the historical
-    # bit-exact behaviour.
-    far_rows = ((cls == 1) | (cls == 3))[:, None]
+    # bit-exact behaviour. Class 4 (split classifier): far iff the voxel's
+    # SAMPLED pixel (round(img), the nearest-neighbour fetch of
+    # fusion._voxel_update) lands in a provably-far window cell; voxels in
+    # provably-behind-band cells are skipped, exactly as dense would.
+    far_rows = ((cls == 1) | (cls == 3) | (cls == 4))[:, None]
     H, W = depth_m.shape
     nby_, nbz_ = (res[1] // BRICK), (res[2] // BRICK)
     bids = jnp.arange(vb.shape[0], dtype=jnp.int32)
@@ -476,9 +636,18 @@ def _integrate_rows_core(
     ccy = Rv[1, 0] * fx_ + Rv[1, 1] * fy_ + Rv[1, 2] * fz_ + tv[1]
     ccz = Rv[2, 0] * fx_ + Rv[2, 1] * fy_ + Rv[2, 2] * fz_ + tv[2]
     inv_z = 1.0 / ccz
-    iu = jnp.floor(ccx * intr.fx * inv_z + intr.cx - 0.5)
-    iv = jnp.floor(ccy * intr.fy * inv_z + intr.cy - 0.5)
+    img_u = ccx * intr.fx * inv_z + intr.cx
+    img_v = ccy * intr.fy * inv_z + intr.cy
+    iu = jnp.floor(img_u - 0.5)
+    iv = jnp.floor(img_v - 0.5)
     far_mask = far_rows & (inv_z >= 0) & (iu > 1) & (iu < W - 1) & (iv > 1) & (iv < H - 1)
+    if aux is not None:
+        psx = jnp.round(img_u).astype(jnp.int32)
+        psy = jnp.round(img_v).astype(jnp.int32)
+        cellx = jnp.clip((psx - aux.win_u0[:, None]) // aux.win_ts[:, None], 0, 1)
+        celly = jnp.clip((psy - aux.win_v0[:, None]) // aux.win_ts[:, None], 0, 1)
+        bit = (aux.farbits[:, None] >> (celly * 2 + cellx)) & 1
+        far_mask = far_mask & (bit > 0)
     w_new = jnp.minimum(wb + 1.0, float(cfg.max_weight))
     # far branch: tsdf sample = (1, 0) (TsdfFusion.cu:154-155)
     val_far = (vb * wb + 1.0) / (wb + 1.0)

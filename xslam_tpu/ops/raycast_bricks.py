@@ -37,6 +37,7 @@ from .raycast import (
     finalize_maps,
     march_skip,
     refine,
+    refine_from_samples,
     screen_normals,
 )
 
@@ -346,6 +347,7 @@ def raycast_bricks(
     temporal_window: int = 12,
     temporal_min_coverage: float = 0.5,
     return_hit: bool = False,
+    refine_mode: str = "secant2",
 ):
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
@@ -371,6 +373,7 @@ def raycast_bricks(
         quad_taps=quad_taps, t_anchor=t_anchor,
         temporal_window=temporal_window,
         temporal_min_coverage=temporal_min_coverage, return_hit=return_hit,
+        refine_mode=refine_mode,
     )
 
 
@@ -395,6 +398,7 @@ def raycast_bricks_rays(
     temporal_window: int = 12,
     temporal_min_coverage: float = 0.5,
     return_hit: bool = False,
+    refine_mode: str = "secant2",
 ):
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
@@ -412,14 +416,29 @@ def raycast_bricks_rays(
 
     if skip_gran not in (4, 8):
         raise ValueError(f"skip_gran must be 4 or 8, got {skip_gran}")
-    if packed is None:
-        packed = (
+    # the jump-packed skip volume is only consumed by the skip-march paths;
+    # for the temporal march it belongs INSIDE the refresh cond branch (a
+    # lax.cond executes only the taken branch, so the ~per-frame full-volume
+    # pack is paid only on actual refresh frames, not the ~99% of frames the
+    # anchored window march serves)
+    packed_injected = packed
+
+    def build_packed():
+        if packed_injected is not None:
+            return packed_injected
+        return (
             bricks.skip_rows(bvol, res) if skip_gran == 8
             else bricks.skip_rows4(bvol, res)
         )
-    packed_read = _value_reader(packed, res)
 
     value_read = _value_reader(bvol.value, res)
+
+    if refine_mode not in ("secant2", "reuse"):
+        raise ValueError(f"unknown refine_mode {refine_mode!r}")
+    # sample-reusing refinement needs the march's bracketing samples — only
+    # the window-repair marches record them; restrict to temporal (the mode
+    # it was built for) and fall back to the exact secant elsewhere
+    reuse = refine_mode == "reuse" and march_mode == "temporal"
 
     def hier2_hit():
         # two-level hierarchy (raycast.march_hier2 composed on brick
@@ -427,6 +446,7 @@ def raycast_bricks_rays(
         # repair at half, ``hier_window``-step repair at full — roughly
         # half the gather issues of hier_skip, same approximation class
         # (silhouette events beyond a window are missed; gated downstream)
+        packed_read = _value_reader(build_packed(), res)
         q_dir = CSFD(ray_dir.v[:, ::4, ::4], ray_dir.g[:, ::4, ::4])
         coarse = march_skip(
             None, None, ray_start, q_dir, cfg,
@@ -438,7 +458,7 @@ def raycast_bricks_rays(
         )
         return _window_repair(
             None, ray_start, ray_dir.v, mid, hier_window, cfg,
-            read_fn=value_read, shape=res,
+            read_fn=value_read, shape=res, return_samples=reuse,
         )
 
     if march_mode == "skip":
@@ -447,7 +467,8 @@ def raycast_bricks_rays(
         march_fn = march_skip_compact if compact else march_skip
         hit = march_fn(
             None, None, ray_start, ray_dir, cfg,
-            packed_read=packed_read, shape=res, jump_unit=skip_gran,
+            packed_read=_value_reader(build_packed(), res), shape=res,
+            jump_unit=skip_gran,
         )
     elif march_mode == "hier2_skip":
         hit = hier2_hit()
@@ -467,6 +488,7 @@ def raycast_bricks_rays(
             lambda: march_temporal(
                 None, t_anchor, ray_start, ray_dir, cfg,
                 window=temporal_window, read_fn=value_read, shape=res,
+                return_samples=reuse,
             ),
             hier2_hit,
         )
@@ -474,13 +496,16 @@ def raycast_bricks_rays(
         coarse_dir = CSFD(ray_dir.v[:, ::2, ::2], ray_dir.g[:, ::2, ::2])
         coarse = march_skip(
             None, None, ray_start, coarse_dir, cfg,
-            packed_read=packed_read, shape=res, jump_unit=skip_gran,
+            packed_read=_value_reader(build_packed(), res), shape=res,
+            jump_unit=skip_gran,
         )
         hit = _window_repair(
             None, ray_start, ray_dir.v, coarse, hier_window, cfg,
             read_fn=value_read, shape=res,
         )
 
+    if reuse:
+        hit, f_bracket0, f_bracket1 = hit
     accept = hit.t_found < jnp.minimum(hit.t_dead, INF_T)
 
     if quad_taps:
@@ -518,11 +543,22 @@ def raycast_bricks_rays(
     shape_only = jax.ShapeDtypeStruct(res, jnp.float32)
     from .fusion import VolumeState
 
-    vmap, nmap, v_ok, n_ok = refine(
-        VolumeState(value=shape_only, grad=shape_only, weight=shape_only),
-        ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg,
-        normals_mode=normals_mode, trilin_fn=trilin_at,
-    )
+    if reuse:
+        if normals_mode != "screen":
+            raise ValueError(
+                "refine_mode='reuse' computes no TSDF normals — use "
+                "raycast_normals='screen'"
+            )
+        vmap, nmap, v_ok, n_ok = refine_from_samples(
+            trilin_at, ray_start, ray_dir, hit.t_found,
+            f_bracket0, f_bracket1, accept, r_v2w, t_v2w, cfg,
+        )
+    else:
+        vmap, nmap, v_ok, n_ok = refine(
+            VolumeState(value=shape_only, grad=shape_only, weight=shape_only),
+            ray_start, ray_dir, hit.t_found, accept, r_v2w, t_v2w, cfg,
+            normals_mode=normals_mode, trilin_fn=trilin_at,
+        )
     vmap, nmap = finalize_maps(vmap, nmap, v_ok, n_ok)
     if normals_mode == "screen" and apply_screen:
         nmap = screen_normals(vmap)

@@ -48,6 +48,13 @@ class ShardedXSlamEngine:
             raise ValueError(
                 "raycast_march='temporal' requires volume_layout='brick'"
             )
+        if config.raycast_refine == "reuse" and (
+            config.raycast_march != "temporal" or config.raycast_normals != "screen"
+        ):
+            raise ValueError(
+                "raycast_refine='reuse' requires raycast_march='temporal' "
+                "and raycast_normals='screen'"
+            )
         if config.volume_layout == "brick":
             if config.fusion_mode != "brick":
                 raise ValueError("volume_layout='brick' requires fusion_mode='brick'")
@@ -283,6 +290,7 @@ def _process_frame_sharded(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 config.bi_interpolate_threshold, mesh, brick_cap=cap,
                 classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -295,6 +303,7 @@ def _process_frame_sharded(
                         config.bi_interpolate_threshold, mesh,
                         brick_cap=nb_local,
                         classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
                     )[0],
                     lambda v: out,
                     vol,
@@ -311,6 +320,7 @@ def _process_frame_sharded(
                 fusion_mode=config.fusion_mode,
                 brick_cap=max(256, config.fusion_brick_cap // n),
                 classify_fine=config.fusion_classify_fine,
+                classify_split=config.fusion_classify_split,
             )
 
     volume, fusion_overflow = jax.lax.cond(
@@ -353,6 +363,7 @@ def _process_frame_sharded(
             temporal_window=config.raycast_temporal_window,
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,
+            refine_mode=config.raycast_refine,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary

@@ -44,7 +44,7 @@ def _halo_width(cfg: fusion.VolumeConfig, local_x: int) -> int:
 def sharded_integrate(
     vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
     fusion_mode: str = "dense", brick_cap: int = 2048,
-    classify_fine: bool = False,
+    classify_fine: bool = False, classify_split: bool = False,
 ):
     """Per-slab fusion; the only communication is the psum'd overflow flag.
     ``fusion_mode="brick"`` runs the brick-compacted variant per shard (each
@@ -61,6 +61,7 @@ def sharded_integrate(
                 vol, depth_m, r_v2c, t_v2c, intr, vol_cfg,
                 bi_threshold=bi_threshold, cap=brick_cap,
                 x_offset=idx * local_x, classify_fine=classify_fine,
+                classify_split=classify_split,
             )
         else:
             out = fusion.integrate(
@@ -230,7 +231,7 @@ def _brick_row_specs():
 
 def sharded_integrate_rows(
     bvol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
-    brick_cap: int = 2048, classify_fine: bool = False,
+    brick_cap: int = 2048, classify_fine: bool = False, classify_split: bool = False,
 ):
     """Per-slab brick fusion over a row-sharded BrickVolume (rows are
     bx-major, so a contiguous row range is an X-slab). Communication: the
@@ -250,6 +251,7 @@ def sharded_integrate_rows(
             vol, depth_m, r_v2c, t_v2c, intr, local_cfg,
             bi_threshold=bi_threshold, cap=brick_cap,
             x_offset=idx * local_x, classify_fine=classify_fine,
+                classify_split=classify_split,
         )
         overflow = jax.lax.psum(overflow.astype(jnp.int32), SPACE_AXIS) > 0
         return out, overflow
@@ -273,6 +275,7 @@ def sharded_raycast_bricks(
     compact: bool = False, pair_taps: bool = False, quad_taps: bool = False,
     t_anchor=None, temporal_window: int = 12,
     temporal_min_coverage: float = 0.5, return_hit: bool = False,
+    refine_mode: str = "secant2",
 ):
     """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
     a per-chip column block. ``march_mode="skip"`` is bit-identical to the
@@ -330,7 +333,7 @@ def sharded_raycast_bricks(
             pair_taps=pair_taps, quad_taps=quad_taps,
             t_anchor=anchor, temporal_window=temporal_window,
             temporal_min_coverage=temporal_min_coverage,
-            return_hit=return_hit,
+            return_hit=return_hit, refine_mode=refine_mode,
         )
 
     from jax.sharding import PartitionSpec as P
