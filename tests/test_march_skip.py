@@ -398,3 +398,105 @@ def test_temporal_e2e_tracking():
     est = normalize_to_first(engine.pose_log)
     gt = normalize_to_first([ds.get_pose(i) for i in range(8)])
     assert ate_rmse(est, gt) < 0.06
+
+
+def test_march_temporal_compact_event_identical():
+    """Two-phase survivor-compacted temporal repair must produce the same
+    event OUTCOME as the plain window repair: identical t_found maps and
+    identical accept sets and identical hit times on accepted pixels
+    (the compact march stops at a ray's FIRST event, so later events on
+    already-rejected rays — post-death crossings, post-crossing deaths —
+    may differ without changing any outcome)."""
+    import numpy as np
+
+    from tests.helpers import small_config, small_dataset
+    from xslam_tpu.csfd.single import lift
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.models.kinfu import XSlamEngine
+    from xslam_tpu.ops import bricks, preprocess
+    from xslam_tpu.ops.raycast import (
+        INF_T, _camera_rays, march_temporal, march_temporal_compact,
+    )
+
+    cfg = small_config(
+        end_frame=6, volume_layout="brick", fusion_mode="brick",
+        raycast_march="temporal", raycast_normals="screen",
+        model_map_level=1, icp_fixed_assoc=True, fusion_brick_cap=512,
+        fusion_overflow="dense",
+    )
+    ds = small_dataset(6, degrees_per_frame=1.0)
+    eng = XSlamEngine(cfg)
+    st = eng.init_state()
+    for i in range(5):
+        st, _ = eng.process_frame(st, ds.get_depth(i))
+
+    intr = eng.intr.level(1)
+    d0 = preprocess.bilateral_filter(jnp.asarray(ds.get_depth(5)))
+    d1 = preprocess.pyr_down(d0)
+    vm = preprocess.create_vmap(intr, d1)
+    depth_t = jnp.linalg.norm(vm, axis=0)
+    t_anchor = jnp.where(jnp.isfinite(depth_t), depth_t, st.t_prev)
+
+    c2w = se3.inverse(st.world2camera)
+    w2v = lift(jnp.asarray(np.asarray(cfg.world2volume, np.float32)))
+    c2v = se3.matmul(w2v, c2w)
+    ray_dir, ray_start = _camera_rays(
+        se3.rotation(c2v), se3.translation(c2v), intr
+    )
+    res = tuple(cfg.tsdf_size)
+    read = lambda g: bricks.gather(st.volume.value, res, g[0], g[1], g[2]) + 1e-5
+
+    plain = march_temporal(
+        None, t_anchor, ray_start, ray_dir, eng.vol_cfg, window=12,
+        read_fn=read, shape=res,
+    )
+    for phase1, cap_frac in ((4, 0.2), (3, 0.05)):  # incl. a tight cap that
+        # forces the exact full-width sweep to do real work
+        comp = march_temporal_compact(
+            None, t_anchor, ray_start, ray_dir, eng.vol_cfg, window=12,
+            phase1=phase1, cap_frac=cap_frac, read_fn=read, shape=res,
+        )
+        tf_p, tf_c = np.asarray(plain.t_found), np.asarray(comp.t_found)
+        acc_p = tf_p < np.minimum(np.asarray(plain.t_dead), INF_T)
+        acc_c = tf_c < np.minimum(np.asarray(comp.t_dead), INF_T)
+        np.testing.assert_array_equal(acc_p, acc_c)
+        # same hit times on every ACCEPTED pixel, up to the 1-ulp
+        # t = t_begin + k*step fma difference between the two compiled
+        # programs (the compact march stops at the first event, so
+        # post-death crossings — which acceptance rejects on both paths —
+        # may differ; accepted events may not)
+        np.testing.assert_allclose(tf_p[acc_p], tf_c[acc_c], rtol=1e-6)
+
+
+def test_engine_temporal_phase1_matches_plain():
+    """Engine-level: raycast_temporal_phase1 must keep the trajectory in
+    the same accuracy class (pose-wise bit-equality is not expected: the
+    two compiled programs differ at the 1-ulp hit-time level and this
+    coarse 0.12 m-voxel fixture amplifies chaotically across frames —
+    the event-outcome identity is pinned by the march-level test)."""
+    import numpy as np
+
+    from tests.helpers import small_config, small_dataset
+    from xslam_tpu.models.kinfu import XSlamEngine
+    from xslam_tpu.utils.evaluation import ate_rmse, normalize_to_first
+
+    ds = small_dataset(6, degrees_per_frame=1.0)
+    logs = []
+    ates = []
+    for phase1 in (0, 4):
+        cfg = small_config(
+            end_frame=6, volume_layout="brick", fusion_mode="brick",
+            raycast_march="temporal", raycast_normals="screen",
+            model_map_level=1, icp_fixed_assoc=True, fusion_brick_cap=512,
+            fusion_overflow="dense", raycast_temporal_phase1=phase1,
+        )
+        eng = XSlamEngine(cfg)
+        st = eng.init_state()
+        poses = []
+        for i in range(6):
+            st, res = eng.process_frame(st, ds.get_depth(i))
+            poses.append(np.asarray(res.camera2world.v))
+        logs.append(np.stack(poses))
+        gt = normalize_to_first([ds.get_pose(i) for i in range(6)])
+        ates.append(ate_rmse(normalize_to_first(poses), gt))
+    assert abs(ates[0] - ates[1]) < max(0.2 * ates[0], 0.005), ates

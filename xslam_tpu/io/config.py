@@ -88,6 +88,16 @@ class SlamConfig:
     # validated default; 8 is a clean-sequence speed opt-in.
     raycast_temporal_window: int = 12
     raycast_temporal_min_coverage: float = 0.5
+    # two-phase temporal repair (ops/raycast.py::march_temporal_compact):
+    # phase1 > 0 runs that many lockstep steps for every ray, compacts the
+    # not-done survivors (capacity raycast_temporal_cap_frac * rays) for
+    # the remaining window, and finishes stragglers with an exact
+    # full-width sweep — EVENT-OUTCOME-IDENTICAL to the plain window
+    # repair for every scene (the march_skip_compact discipline) at ~half
+    # the march gathers: 99.94% of bench events land in the first 4 steps
+    # (round-5 measurement). 0 = plain single-phase repair.
+    raycast_temporal_phase1: int = 0
+    raycast_temporal_cap_frac: float = 0.16
     # skip-field cell edge (voxels) for the brick-layout skip march: 8 =
     # per-brick distances; 4 = 4^3 sub-brick distances — the fine-step band
     # around surfaces halves with IDENTICAL events (ops/bricks.py, event-

@@ -505,6 +505,8 @@ def process_frame(
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,
             refine_mode=config.raycast_refine,
+            temporal_phase1=config.raycast_temporal_phase1,
+            temporal_cap_frac=config.raycast_temporal_cap_frac,
         )
     else:
         vmap0, nmap0 = raycast.raycast(

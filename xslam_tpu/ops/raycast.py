@@ -618,6 +618,172 @@ def march_temporal(
     )
 
 
+def march_temporal_compact(
+    value: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    ray_start: CSFD,
+    ray_dir: CSFD,
+    cfg: VolumeConfig,
+    window: int = 12,
+    phase1: int = 4,
+    cap_frac: float = 0.16,
+    read_fn=None,
+    shape=None,
+    return_samples: bool = False,
+):
+    """:func:`march_temporal` with survivor compaction — EVENT-IDENTICAL to
+    the plain ``window``-step repair, ~half the gather issues.
+
+    The anchored repair is gather-bound at (window+1) lockstep reads per
+    ray, but the anchors are good: on the canonical bench 99.94% of
+    window-12 events land within the first 4 steps (round-5 CPU
+    measurement) — the lockstep tail exists only for silhouette/dropout
+    pixels. Phases: (1) ``phase1`` full-width steps for every ray; (2) the
+    not-done rays are compacted (``jnp.nonzero`` with static capacity
+    ``cap_frac * N``) and march the remaining steps alone; (3) an exact
+    full-width ``while_loop`` sweep finishes anything the capacity could
+    not hold (normally zero iterations — e.g. frozen-pose stretches where
+    anchors and rays diverge), making the events exact for EVERY schedule
+    and scene, the :func:`march_skip_compact` discipline. Each ray's state
+    ``(k, prev, t_found, t_dead, f0, f1, done)`` is self-contained on its
+    own anchor grid, so compaction cannot change events."""
+    H, W = ray_dir.v.shape[-2:]
+    if shape is None:
+        shape = value.shape
+    X, Y, Z = shape
+    step = cfg.trunc_dist * 0.8
+
+    # anchor construction identical to march_temporal
+    tp = jnp.where(jnp.isfinite(t_prev), t_prev, INF_T)
+    tp_half = jnp.min(
+        tp[: (H // 2) * 2, : (W // 2) * 2].reshape(H // 2, 2, W // 2, 2),
+        axis=(1, 3),
+    )
+    t_event = jnp.minimum(tp_half, jnp.full_like(tp_half, INF_T))
+
+    def nbhd_min(a):
+        pads = jnp.pad(a, ((0, 1), (0, 1)), constant_values=INF_T)
+        return jnp.minimum(
+            jnp.minimum(pads[:-1, :-1], pads[1:, :-1]),
+            jnp.minimum(pads[:-1, 1:], pads[1:, 1:]),
+        )
+
+    t0_full = jnp.repeat(jnp.repeat(nbhd_min(t_event), 2, 0), 2, 1)[:H, :W]
+    has_anchor = t0_full < INF_T
+    k0 = jnp.maximum(
+        jnp.floor((jnp.where(has_anchor, t0_full, RAY_MIN_M) - RAY_MIN_M) / step) - 1.0,
+        0.0,
+    )
+    t_begin = (RAY_MIN_M + k0 * step).reshape(-1)
+
+    N = H * W
+    dirs_f = ray_dir.v.reshape(3, N)
+    start_f = ray_start.v[:, None]
+
+    if read_fn is None:
+
+        def read_fn(g):
+            return gather3d(value, g[0], g[1], g[2]) + 1e-5
+
+    read_value = read_fn
+
+    def in_global(g):
+        return (
+            (g[0] >= 0) & (g[0] < X) & (g[1] >= 0) & (g[1] < Y)
+            & (g[2] >= 0) & (g[2] < Z)
+        )
+
+    p0 = start_f + dirs_f * t_begin
+    g0 = jnp.floor(p0 / cfg.voxel_size).astype(jnp.int32)
+    g0c = jnp.stack(
+        [jnp.clip(g0[0], 0, X - 1), jnp.clip(g0[1], 0, Y - 1),
+         jnp.clip(g0[2], 0, Z - 1)]
+    )
+    tsdf0 = read_value(g0c)
+    anchors_f = has_anchor.reshape(-1)
+
+    def step_once(state, dirs, t_begin_s, anchors_s):
+        k, prev, t_found, t_dead, f0, f1, done = state
+        kf = k.astype(jnp.float32)
+        t_curr = t_begin_s + kf * step
+        t_next = t_curr + step
+        p = dirs * t_next + start_f
+        g = jnp.floor(p / cfg.voxel_size).astype(jnp.int32)
+        live = anchors_s & (t_curr < RAY_MAX_M) & ~done
+        inside = in_global(g) & live
+        tsdf = read_value(g)
+
+        death = live & (~in_global(g) | (inside & (prev < 0.0) & (tsdf > 0.0)))
+        crossing = inside & (prev > 0.0) & (tsdf < 0.0)
+        record = crossing & (t_curr < t_found)
+        t_found = jnp.where(record, t_curr, t_found)
+        f0 = jnp.where(record, prev, f0)
+        f1 = jnp.where(record, tsdf, f1)
+        t_dead = jnp.where(death & (t_curr < t_dead), t_curr, t_dead)
+        done = (
+            done | crossing | death | ~anchors_s
+            | (k + 1 >= window) | (t_curr >= RAY_MAX_M)
+        )
+        return (k + 1, tsdf, t_found, t_dead, f0, f1, done)
+
+    inf = jnp.full((N,), INF_T, jnp.float32)
+    state = (
+        jnp.zeros(N, jnp.int32), tsdf0, inf, inf,
+        jnp.ones(N, jnp.float32), -jnp.ones(N, jnp.float32),
+        ~anchors_f,
+    )
+
+    # phase 1: full-width lockstep
+    state = jax.lax.fori_loop(
+        0, min(phase1, window),
+        lambda _, s: step_once(s, dirs_f, t_begin, anchors_f), state,
+    )
+
+    if window > phase1:
+        # phase 2: compact the not-done rays (padded sentinel slot at N)
+        cap = max(1, int(round(N * cap_frac)))
+
+        def pad1(a, v):
+            return jnp.concatenate([a, jnp.full((1,), v, a.dtype)])
+
+        padded = (
+            pad1(state[0], 0), pad1(state[1], 1.0), pad1(state[2], INF_T),
+            pad1(state[3], INF_T), pad1(state[4], 1.0), pad1(state[5], -1.0),
+            pad1(state[6], True),
+        )
+        tb_p = pad1(t_begin, RAY_MIN_M)
+        an_p = pad1(anchors_f, False)
+        dirs_p = jnp.concatenate([dirs_f, jnp.ones((3, 1), dirs_f.dtype)], axis=1)
+
+        (sel,) = jnp.nonzero(~state[6], size=cap, fill_value=N)
+        sub = tuple(a[sel] for a in padded)
+        sdirs = dirs_p[:, sel]
+        stb = tb_p[sel]
+        san = an_p[sel]
+        sub = jax.lax.fori_loop(
+            0, window - phase1,
+            lambda _, s: step_once(s, sdirs, stb, san), sub,
+        )
+        padded = tuple(a.at[sel].set(o) for a, o in zip(padded, sub))
+        state = tuple(a[:N] for a in padded)
+
+        # exact full-width sweep for anything the capacity missed
+        # (normally zero body iterations: the cond costs one reduction)
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(~s[6]),
+            lambda s: step_once(s, dirs_f, t_begin, anchors_f),
+            state,
+        )
+
+    _, _, t_found, t_dead, f0, f1, _ = state
+    hit = RaycastHit(
+        t_found=t_found.reshape(H, W), t_dead=t_dead.reshape(H, W)
+    )
+    if return_samples:
+        return hit, f0.reshape(H, W), f1.reshape(H, W)
+    return hit
+
+
 def _window_repair(
     value: jnp.ndarray,
     ray_start: CSFD,

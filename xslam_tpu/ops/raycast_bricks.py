@@ -348,6 +348,8 @@ def raycast_bricks(
     temporal_min_coverage: float = 0.5,
     return_hit: bool = False,
     refine_mode: str = "secant2",
+    temporal_phase1: int = 0,
+    temporal_cap_frac: float = 0.16,
 ):
     """Raycast the model maps at ``intr``'s resolution from a brick-major
     volume. ``march_mode``: "skip" = full-length skip march at target
@@ -373,7 +375,8 @@ def raycast_bricks(
         quad_taps=quad_taps, t_anchor=t_anchor,
         temporal_window=temporal_window,
         temporal_min_coverage=temporal_min_coverage, return_hit=return_hit,
-        refine_mode=refine_mode,
+        refine_mode=refine_mode, temporal_phase1=temporal_phase1,
+        temporal_cap_frac=temporal_cap_frac,
     )
 
 
@@ -399,6 +402,8 @@ def raycast_bricks_rays(
     temporal_min_coverage: float = 0.5,
     return_hit: bool = False,
     refine_mode: str = "secant2",
+    temporal_phase1: int = 0,
+    temporal_cap_frac: float = 0.16,
 ):
     """March + refine for an explicit ray bundle (``ray_dir`` may be any
     column/row slice of a camera's rays — used by the pixel-sharded
@@ -480,16 +485,28 @@ def raycast_bricks_rays(
         # jump, accumulated silhouette decay): self-healing, scan-safe.
         if t_anchor is None:
             raise ValueError("march_mode='temporal' requires t_anchor")
-        from .raycast import march_temporal
+        from .raycast import march_temporal, march_temporal_compact
+
+        if temporal_phase1 > 0:
+            def temporal_hit():
+                return march_temporal_compact(
+                    None, t_anchor, ray_start, ray_dir, cfg,
+                    window=temporal_window, phase1=temporal_phase1,
+                    cap_frac=temporal_cap_frac, read_fn=value_read,
+                    shape=res, return_samples=reuse,
+                )
+        else:
+            def temporal_hit():
+                return march_temporal(
+                    None, t_anchor, ray_start, ray_dir, cfg,
+                    window=temporal_window, read_fn=value_read, shape=res,
+                    return_samples=reuse,
+                )
 
         frac = jnp.mean(jnp.isfinite(t_anchor).astype(jnp.float32))
         hit = jax.lax.cond(
             frac >= temporal_min_coverage,
-            lambda: march_temporal(
-                None, t_anchor, ray_start, ray_dir, cfg,
-                window=temporal_window, read_fn=value_read, shape=res,
-                return_samples=reuse,
-            ),
+            temporal_hit,
             hier2_hit,
         )
     else:

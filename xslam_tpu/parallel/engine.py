@@ -364,6 +364,8 @@ def _process_frame_sharded(
             temporal_min_coverage=config.raycast_temporal_min_coverage,
             return_hit=True,
             refine_mode=config.raycast_refine,
+            temporal_phase1=config.raycast_temporal_phase1,
+            temporal_cap_frac=config.raycast_temporal_cap_frac,
         )
         if config.raycast_normals == "screen":
             # the pixel-sharded stage defers screen normals (column-boundary

@@ -275,7 +275,8 @@ def sharded_raycast_bricks(
     compact: bool = False, pair_taps: bool = False, quad_taps: bool = False,
     t_anchor=None, temporal_window: int = 12,
     temporal_min_coverage: float = 0.5, return_hit: bool = False,
-    refine_mode: str = "secant2",
+    refine_mode: str = "secant2", temporal_phase1: int = 0,
+    temporal_cap_frac: float = 0.16,
 ):
     """Pixel-sharded brick raycast: all-gather the brick rows, march/refine
     a per-chip column block. ``march_mode="skip"`` is bit-identical to the
@@ -334,6 +335,8 @@ def sharded_raycast_bricks(
             t_anchor=anchor, temporal_window=temporal_window,
             temporal_min_coverage=temporal_min_coverage,
             return_hit=return_hit, refine_mode=refine_mode,
+            temporal_phase1=temporal_phase1,
+            temporal_cap_frac=temporal_cap_frac,
         )
 
     from jax.sharding import PartitionSpec as P
