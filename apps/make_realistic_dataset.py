@@ -44,6 +44,13 @@ def main():
     ap.add_argument("n_frames", nargs="?", type=int, default=301)
     ap.add_argument("noise", nargs="?", type=float, default=0.0015)
     ap.add_argument("--format", choices=("icl", "7scenes"), default="icl")
+    ap.add_argument("--revisit", action="store_true",
+                    help="second half of the trajectory RETRACES the first "
+                    "half backwards, so the camera revisits every earlier "
+                    "pose — the loop-closure-detection validation sequence")
+    ap.add_argument("--blackout", nargs=2, type=int, metavar=("A", "B"),
+                    help="zero out the depth of frames [A, B) — sensor "
+                    "blackout for the realistic recovery exercise")
     args = ap.parse_args()
     out_dir, n_frames, noise = args.out_dir, args.n_frames, args.noise
 
@@ -64,7 +71,12 @@ def main():
     png_factor = 5 if args.format == "icl" else 1
 
     scene = cluttered_scene()
-    poses = handheld_trajectory(n_frames, seed=11)
+    if args.revisit:
+        m = n_frames // 2 + 1
+        half = handheld_trajectory(m, seed=11)
+        poses = (half + half[-2::-1])[:n_frames]
+    else:
+        poses = handheld_trajectory(n_frames, seed=11)
     if args.format == "icl":
         frame_dir = os.path.join(out_dir, "depth")
     else:
@@ -78,6 +90,8 @@ def main():
 
     for i, c2w in enumerate(poses):
         d_mm = render_depth(scene, c2w, intr)
+        if args.blackout and args.blackout[0] <= i < args.blackout[1]:
+            d_mm = np.zeros_like(d_mm)
         if noise > 0:
             rng = np.random.default_rng(np.random.SeedSequence([99, i]))
             d_mm = apply_sensor_model(d_mm, rng, noise)

@@ -196,9 +196,32 @@ def bench_e():
     )
 
 
+def probe_canary():
+    """Toolchain-regression canary (VERDICT r4 weak #7): attempt a REAL
+    Mosaic compile+run of ``bilateral_filter_pallas`` (the golden-tested
+    kernel that only ever runs in interpreter mode under pytest) and print
+    pass/fail — run once per round, result recorded in BASELINE.md."""
+    from xslam_tpu.ops.pallas_kernels import bilateral_filter_pallas
+    from xslam_tpu.ops.preprocess import bilateral_filter
+
+    depth = (np.random.default_rng(0).uniform(600, 4000, (480, 640))).astype(
+        np.uint16
+    )
+    out = bilateral_filter_pallas(jnp.asarray(depth), interpret=False)
+    ref = bilateral_filter(jnp.asarray(depth))
+    err = float(np.nanmax(np.abs(np.asarray(out) - np.asarray(ref))))
+    print(json.dumps({
+        "canary": "bilateral_filter_pallas mosaic compile+run",
+        "ok": bool(err < 1e-3),
+        "max_err_vs_xla": err,
+    }))
+    return out
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform}:{getattr(dev, 'device_kind', '?')}")
+    try_probe("CANARY_bilateral_mosaic", probe_canary)
     ok_a, out_a = try_probe("A_sublane_gather", probe_a)
     if ok_a:
         exp = np.take_along_axis(

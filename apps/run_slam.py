@@ -211,7 +211,12 @@ def main():
     # anchored Schur BA over the keyframe log, propagated to the full
     # trajectory and exported alongside the odometry
     if engine_logs_poses and len(getattr(engine, "keyframes", [])) >= 2:
-        refined = engine.refine_trajectory()
+        try:
+            refined = engine.refine_trajectory()
+        except Exception as e:  # noqa: BLE001 — backend failure must not
+            # kill the run: the odometry result above is already reported
+            print(f"backend refinement FAILED ({type(e).__name__}): {e}")
+            return
         if config.log_slam_pose:
             for i, fid in enumerate(frame_ids[: len(refined)]):
                 save_pose(os.path.join(out_dir, "slam_refined"), fid, refined[i])

@@ -112,8 +112,11 @@ def main():
         depth_width=intr.width, depth_height=intr.height,
         fx=intr.fx, fy=intr.fy, cx=intr.cx, cy=intr.cy,
         tsdf_size=tsdf, voxel_size=voxel, end_frame=4,
-        volume_layout="brick", fusion_mode="brick", fusion_brick_cap=6144,
-        raycast_normals="screen", raycast_march="hier_skip",
+        volume_layout="brick", fusion_mode="brick",
+        fusion_brick_cap=2560 if args.full_scale else 6144,
+        fusion_overflow="dense" if args.full_scale else "flag",
+        raycast_normals="screen",
+        raycast_march="temporal" if args.full_scale else "hier_skip",
         model_map_level=1, icp_fixed_assoc=True,
     )
     ds = SyntheticDataset(n_frames=1, intr=intr)

@@ -83,6 +83,13 @@ def main():
         raycast_march="temporal",
         model_map_level=1,
         icp_fixed_assoc=True,
+        # round-5 validated default: sample-reusing refinement (one exact
+        # dual trilinear instead of two; ops/raycast.py::refine_from_samples).
+        # TPU A/B 48.26 -> 42.09 ms at BETTER ATE (1.12 -> 0.71 mm bench);
+        # realistic: ICL 6.00 mm/0 failures (secant2-era r4: 7.25), 7-Scenes
+        # controlled same-day A/B 11.14 mm/0 failures vs secant2's
+        # 12.08 mm/5 failures — BASELINE.md round 5
+        raycast_refine="reuse",
     )
     # experimental knob overrides (perf A/B runs): XSLAM_BENCH_OVERRIDES as
     # JSON, e.g. '{"raycast_packed_taps": false}' — the canonical bench is

@@ -439,10 +439,22 @@ class RecoveringEngine:
         # bias shrinks geometrically — measured 31 -> 7 -> 2.8 -> 1.3 mm on
         # the perturbed-keyframe fixture, tests/test_ba_live.py)
         bucket = bucket_l = None
+        # device-memory guard: a strongly-revisiting trajectory multiplies
+        # the multi-view observation count (the ICL_loop sequence OOM'd the
+        # 16 GB chip at stride 8) — coarsen the anchor stride until the
+        # problem fits a fixed observation budget. The budget is per-round
+        # sticky via the bucket machinery below.
+        max_obs = 200_000
         for _ in range(rounds):
-            problem, anchors0 = build_ba_problem(
-                poses, depths, self.intr, stride=stride, match_dist=match_dist,
-            )
+            problem = None
+            while True:
+                problem, anchors0 = build_ba_problem(
+                    poses, depths, self.intr, stride=stride,
+                    match_dist=match_dist,
+                )
+                if problem is None or int(problem.frame_idx.shape[0]) <= max_obs:
+                    break
+                stride *= 2
             if problem is None:
                 break
             # shape-stable rounds: pad the observation count to a bucket

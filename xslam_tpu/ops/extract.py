@@ -330,57 +330,80 @@ _MC_TABLE = _build_mc_table()  # (256, max_tris, 3) edge ids, -1 padded
 
 
 def extract_mesh_mc(
-    vol: VolumeState, cfg: VolumeConfig, capacity: int = 1_000_000
+    vol: VolumeState, cfg: VolumeConfig, capacity: int = 1_000_000,
+    slab: int = 16,
 ) -> Mesh:
     """Isosurface triangles by full 256-case marching cubes over observed
     cells — same contract as :func:`extract_mesh` (fixed-capacity
-    compacted buffer), classic MC connectivity instead of tetrahedra."""
+    compacted buffer), classic MC connectivity instead of tetrahedra.
+
+    The cell sweep runs in X-slabs of ``slab`` cells with per-slab
+    compaction into the shared output buffer: peak transients are
+    O(slab * Y * Z) instead of O(X * Y * Z) — at the canonical 256^3 the
+    unchunked per-cell tensors (F/W (cells,8), e_pts (cells,12,3), the
+    (cells*T,3,3) triangle stack) were multiple GB (ADVICE round 4);
+    slab=16 keeps them under ~200 MB with identical output content
+    (triangle ORDER is slab-major rather than case-row-major — consumers
+    are order-insensitive)."""
     X, Y, Z = vol.value.shape
     vs = cfg.voxel_size
-
-    def corner(c):
-        dx, dy, dz = int(_CORNERS[c, 0]), int(_CORNERS[c, 1]), int(_CORNERS[c, 2])
-        return (
-            vol.value[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
-            vol.weight[dx : X - 1 + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
-        )
-
-    Fs, Ws = zip(*[corner(c) for c in range(8)])
-    F = jnp.stack(Fs, -1).reshape(-1, 8)
-    W = jnp.stack(Ws, -1).reshape(-1, 8)
-    observed = jnp.all((W > 0) & (jnp.abs(F) < 1.0), axis=-1)
-
-    nx, ny, nz = X - 1, Y - 1, Z - 1
-    cix = jnp.arange(nx * ny * nz, dtype=jnp.int32)
-    base = jnp.stack([cix // (ny * nz), (cix // nz) % ny, cix % nz], -1)
-
-    inside = (F < 0.0).astype(jnp.int32)
-    case = jnp.sum(inside * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1)
-
-    corners_pos = ((base[:, None, :] + _CORNERS[None, :, :]).astype(jnp.float32) + 0.5) * vs
-    fi = F[:, _MC_EDGES[:, 0]]
-    fj = F[:, _MC_EDGES[:, 1]]
-    denom = jnp.where(fi - fj == 0.0, 1.0, fi - fj)
-    frac = jnp.clip(fi / denom, 0.0, 1.0)[..., None]
-    pi = corners_pos[:, _MC_EDGES[:, 0]]
-    pj = corners_pos[:, _MC_EDGES[:, 1]]
-    e_pts = pi * (1 - frac) + pj * frac  # (cells, 12, 3)
-
     table = jnp.asarray(_MC_TABLE)  # (256, T, 3)
-    tris_all, mask_all = [], []
-    for t in range(_MC_TABLE.shape[1]):
-        edge_idx = table[case, t]  # (cells, 3)
-        valid = observed & (edge_idx[:, 0] >= 0)
-        verts = jnp.take_along_axis(
-            e_pts, jnp.maximum(edge_idx, 0)[..., None], axis=1
-        )
-        tris_all.append(verts)
-        mask_all.append(valid)
 
-    tris = jnp.concatenate(tris_all)
-    mask = jnp.concatenate(mask_all)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    count = jnp.minimum(pos[-1] + 1, capacity)
-    dest = jnp.where(mask & (pos < capacity), pos, capacity)
-    buf = jnp.zeros((capacity + 1, 3, 3), jnp.float32).at[dest].set(tris)
+    buf = jnp.zeros((capacity + 1, 3, 3), jnp.float32)
+    count = jnp.int32(0)
+
+    for x0 in range(0, X - 1, slab):
+        nx = min(slab, X - 1 - x0)
+
+        def corner(c):
+            dx, dy, dz = int(_CORNERS[c, 0]), int(_CORNERS[c, 1]), int(_CORNERS[c, 2])
+            return (
+                vol.value[x0 + dx : x0 + nx + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+                vol.weight[x0 + dx : x0 + nx + dx, dy : Y - 1 + dy, dz : Z - 1 + dz],
+            )
+
+        Fs, Ws = zip(*[corner(c) for c in range(8)])
+        F = jnp.stack(Fs, -1).reshape(-1, 8)
+        W = jnp.stack(Ws, -1).reshape(-1, 8)
+        observed = jnp.all((W > 0) & (jnp.abs(F) < 1.0), axis=-1)
+
+        ny, nz = Y - 1, Z - 1
+        cix = jnp.arange(nx * ny * nz, dtype=jnp.int32)
+        base = jnp.stack(
+            [x0 + cix // (ny * nz), (cix // nz) % ny, cix % nz], -1
+        )
+
+        inside = (F < 0.0).astype(jnp.int32)
+        case = jnp.sum(
+            inside * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=-1
+        )
+
+        corners_pos = (
+            (base[:, None, :] + _CORNERS[None, :, :]).astype(jnp.float32) + 0.5
+        ) * vs
+        fi = F[:, _MC_EDGES[:, 0]]
+        fj = F[:, _MC_EDGES[:, 1]]
+        denom = jnp.where(fi - fj == 0.0, 1.0, fi - fj)
+        frac = jnp.clip(fi / denom, 0.0, 1.0)[..., None]
+        pi = corners_pos[:, _MC_EDGES[:, 0]]
+        pj = corners_pos[:, _MC_EDGES[:, 1]]
+        e_pts = pi * (1 - frac) + pj * frac  # (slab cells, 12, 3)
+
+        tris_all, mask_all = [], []
+        for t in range(_MC_TABLE.shape[1]):
+            edge_idx = table[case, t]  # (cells, 3)
+            valid = observed & (edge_idx[:, 0] >= 0)
+            verts = jnp.take_along_axis(
+                e_pts, jnp.maximum(edge_idx, 0)[..., None], axis=1
+            )
+            tris_all.append(verts)
+            mask_all.append(valid)
+
+        tris = jnp.concatenate(tris_all)
+        mask = jnp.concatenate(mask_all)
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dest = jnp.where(mask & (count + pos < capacity), count + pos, capacity)
+        buf = buf.at[dest].set(tris)
+        count = jnp.minimum(count + pos[-1] + 1, capacity)
+
     return Mesh(vertices=buf[:capacity], count=count)
