@@ -11,8 +11,10 @@ Scenario (measured basins, small scene): a 2-frame sensor blackout at
 2.5 deg/frame leaves the frozen pose ~7.5 deg / 0.21 m off on resume —
 outside the 0.15 m translation-gated ICP acceptance, inside the DCSFD
 relocalizer's ~trunc/2 basin. The plain engine stays frozen (~213 mm error
-forever); the recovering engine descends the TSDF loss (0.29 -> 0.06),
-re-enters through the seeded tracked step, and is back to ~36 mm.
+forever); the recovering engine (round 5: constant-velocity-seeded
+relocalization — best-final-loss over {CV, frozen} seeds) bridges the
+blackout without ever spiking (max error ~36 mm vs the frozen-seed
+machinery's 213 mm transient) and re-acquires immediately on resume.
 """
 
 import numpy as np
@@ -67,16 +69,22 @@ def test_recovery_after_blackout():
     errs = _errs_mm(est, ds, seq)
 
     # blank-frame relocalization attempts must be rejected (no valid
-    # support), and at least one non-blank attempt must have descended
+    # support)
     blanks = [e for e in eng.recovery_events if e.mean_loss_before == 0.0]
     assert all(not e.accepted for e in blanks)
+    # at least one non-blank relocalization ran and descended (round 5:
+    # the constant-velocity seed starts near-correct, so the descent may
+    # be shallow — the old >2x criterion described the frozen-seed regime)
     descended = [
         e for e in eng.recovery_events
-        if e.mean_loss_before > 0 and e.mean_loss_after < 0.5 * e.mean_loss_before
+        if e.mean_loss_before > 0 and e.mean_loss_after < e.mean_loss_before
     ]
     assert descended, f"no descending relocalization: {eng.recovery_events}"
 
-    # the trajectory must re-acquire after the blackout
+    # the CV-seeded recovery must BRIDGE the blackout: no frozen-pose
+    # error spike (the pre-CV machinery visited ~213 mm before pulling
+    # back), and the trajectory re-acquires after it
+    assert max(errs) < 100.0, f"post-blackout spike: {errs}"
     assert errs[-1] < 60.0, f"end error {errs[-1]:.0f} mm: {errs}"
 
 
@@ -132,7 +140,7 @@ def test_recovery_wraps_sharded_engine():
     errs = _errs_mm(est, ds, seq)
     descended = [
         e for e in eng.recovery_events
-        if e.mean_loss_before > 0 and e.mean_loss_after < 0.5 * e.mean_loss_before
+        if e.mean_loss_before > 0 and e.mean_loss_after < e.mean_loss_before
     ]
     assert descended, f"no descending relocalization: {eng.recovery_events}"
     assert errs[-1] < 60.0, f"end error {errs[-1]:.0f} mm: {errs}"

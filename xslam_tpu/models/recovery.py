@@ -169,6 +169,13 @@ class RecoveringEngine:
         self._fail_streak = 0
         self._frame_index = 0
         self._reloc_fn = None
+        # constant-velocity motion model: last good (frame_index, c2w) and
+        # the last good one-frame relative motion — the relocalization seed
+        # for blackout-length outages (the frozen pose alone is beyond the
+        # TSDF-loss basin after ~10 frames of sustained handheld motion:
+        # measured on the realistic blackout run, BASELINE round 5)
+        self._last_good = None
+        self._vel = None
         # set by an accepted far-from-frozen relocalization; consumed by the
         # next aligned frame, which closes the loop (the retrack may fail
         # its gates against the stale pre-blackout model maps while the
@@ -257,6 +264,11 @@ class RecoveringEngine:
         align_ok = bool(np.asarray(result.align_ok))
         if align_ok:
             self._fail_streak = 0
+            c2w_now = np.asarray(result.camera2world.v)
+            if self._last_good is not None and \
+                    self._frame_index - self._last_good[0] == 1:
+                self._vel = np.linalg.inv(self._last_good[1]) @ c2w_now
+            self._last_good = (self._frame_index, c2w_now)
         else:
             self._fail_streak += 1
             if (
@@ -311,12 +323,39 @@ class RecoveringEngine:
 
         w2v = np.asarray(self.config.world2volume, np.float32)
         frozen_c2w = np.asarray(failed.camera2world.v)
-        xi0 = se3.log_real(w2v @ frozen_c2w)
+
+        # seed candidates: constant-velocity extrapolation from the last
+        # good pose (bridges sustained-motion outages — the frozen pose is
+        # already beyond every basin after ~10 blank frames), then the
+        # frozen pose itself. First gate-passing candidate wins.
+        seeds = []
+        if self._vel is not None and self._last_good is not None:
+            k = min(self._frame_index - self._last_good[0], 15)
+            cv = self._last_good[1].copy()
+            for _ in range(max(k, 0)):
+                cv = cv @ self._vel
+            seeds.append(cv.astype(np.float32))
+        seeds.append(frozen_c2w)
 
         value_dense = self.engine.dense_volume(state).value
         depth_m = fusion.scale_depth(jnp.asarray(depth_u16))
-        out = self._relocalize(value_dense, depth_m, jnp.asarray(xi0, np.float32))
-
+        out, best_loss = None, np.inf
+        for seed_c2w in seeds:
+            xi0 = se3.log_real(w2v @ seed_c2w)
+            cand = self._relocalize(
+                value_dense, depth_m, jnp.asarray(xi0, np.float32)
+            )
+            m = np.asarray(cand.loss_history)
+            ok_cand = (
+                np.isfinite(m[-1])
+                and float(np.asarray(cand.count)) >= self.config.reloc_min_count
+            )
+            # best FINAL loss among valid candidates wins (a paused camera
+            # makes the CV extrapolation overshoot — the frozen seed must
+            # be able to beat it, and vice versa for sustained motion)
+            if out is None or (ok_cand and m[-1] < best_loss):
+                out = cand
+                best_loss = m[-1] if ok_cand else best_loss
         means = np.asarray(out.loss_history)
         count = float(np.asarray(out.count))
         before, after = float(means[0]), float(means[-1])
