@@ -67,17 +67,19 @@ def main():
     # test_fast_paths.py, test_march_skip.py); the ATE of this exact run
     # is reported alongside the FPS.
     # fusion gathers cost cap*512 regardless of the actual ACTIVE count
-    # (static shapes), so the cap is sized to the post-classifier measured
-    # ACTIVE maxima (round 4 frustum+masked-FAR classifier: 2056 bench /
-    # 1635 realistic; round-5 re-measure on the fixed window-coverage
-    # classifier: 2485 bench) + margin, with the exact dense
-    # re-integration as the in-jit overflow safety net (rare slow frame
-    # instead of a dropped update)
+    # (static shapes), so the cap is sized to the measured ACTIVE envelope
+    # of the WHOLE orbit, not just 20 frames: with the fixed
+    # window-coverage classifier + the 22-level mip ladder the 120-frame
+    # maximum is 2629 (mean 2351; realistic sequences max 1606 —
+    # BASELINE.md round 5), so cap 2816 carries ~7% headroom with the
+    # exact dense re-integration as the in-jit overflow safety net (rare
+    # slow frame instead of a dropped update). The round-4 sizing was
+    # 20-frame-only and would have hit the overflow cliff past frame ~40.
     config = SlamConfig(
         end_frame=n_frames,
         volume_layout="brick",
         fusion_mode="brick",
-        fusion_brick_cap=2560,
+        fusion_brick_cap=2816,
         fusion_overflow="dense",
         raycast_normals="screen",
         raycast_march="temporal",

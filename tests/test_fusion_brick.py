@@ -345,11 +345,12 @@ def test_classify_split_mixed_class_fires_and_is_exact():
     cfg, vol_cfg, w2v, _ = _setup(1)
     H, W = SMALL_INTR.height, SMALL_INTR.width
 
-    # synthetic depth: near strip (1.0 m) then far (4.2 m), the step at
-    # column 64 — a multiple of every mip tile size, so whole window cells
-    # fall purely-near or purely-far (probed: 5 MIXED bricks fire here)
+    # synthetic depth: near strip (1.0 m) then far (4.2 m), the step at a
+    # column where whole window cells of the SELECTED mip levels fall
+    # purely-near or purely-far (probed against the current 22-level
+    # ladder: 3 MIXED bricks fire at column 90)
     depth_mm = np.full((H, W), 4200, np.uint16)
-    depth_mm[:, :64] = 1000
+    depth_mm[:, :90] = 1000
 
     # camera at the volume centre looking down +z (identity c2w then w2v)
     c2w = np.eye(4, dtype=np.float32)
@@ -378,3 +379,46 @@ def test_classify_split_mixed_class_fires_and_is_exact():
     np.testing.assert_allclose(
         np.asarray(dense.value), np.asarray(brick.value), atol=1e-5
     )
+
+
+def test_subcell_fusion_equals_dense():
+    """Two-stage subcell fusion (fusion_subcell_cap > 0: depth gathers only
+    for ACTIVE 4^3 subcells of the compacted candidates; far/none subcells
+    resolve elementwise) must reproduce dense fusion within the standard
+    envelope, and a starved subcell capacity must raise the overflow flag
+    rather than silently dropping updates."""
+    from tests.helpers import small_scene
+    from xslam_tpu.io.synthetic import render_depth
+
+    cfg, vol_cfg, w2v, ds = _setup(2)
+    for i in range(2):
+        dm = fusion.scale_depth(jnp.asarray(ds.get_depth(i)))
+        c2v = se3.matmul(
+            lift(jnp.asarray(w2v)), lift(jnp.asarray(ds.get_pose(i), jnp.float32))
+        )
+        v2c = se3.inverse(c2v)
+        r, t = se3.rotation(v2c), se3.translation(v2c)
+        dense = fusion.integrate(
+            fusion.create_volume(vol_cfg), dm, r, t, SMALL_INTR, vol_cfg
+        )
+        brick, overflow = fusion_brick.integrate_brick(
+            fusion.create_volume(vol_cfg), dm, r, t, SMALL_INTR, vol_cfg,
+            cap=1024, subcell_cap=1024,
+        )
+        assert not bool(overflow)
+        np.testing.assert_array_equal(
+            np.asarray(dense.weight), np.asarray(brick.weight)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.value), np.asarray(brick.value), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.grad), np.asarray(brick.grad), atol=1e-5
+        )
+
+        # starved subcell list -> overflow flag fires
+        _, overflow = fusion_brick.integrate_brick(
+            fusion.create_volume(vol_cfg), dm, r, t, SMALL_INTR, vol_cfg,
+            cap=1024, subcell_cap=4,
+        )
+        assert bool(overflow)

@@ -179,6 +179,15 @@ class SlamConfig:
     # cap*512) beyond the round-4 classifier. classify_fine takes
     # precedence when both are set.
     fusion_classify_split: bool = False
+    # two-stage SUBCELL fusion (ops/fusion_brick.py::_integrate_rows_core):
+    # > 0 re-classifies the compacted ACTIVE candidates at 4^3-subcell
+    # granularity and issues depth gathers ONLY for ACTIVE subcells
+    # (8 per-subcell-id compacted lists of this capacity each; far/none
+    # subcells resolve elementwise on the gathered rows). Depth-gather
+    # bill: 8*cap*64 + classification fetches instead of
+    # fusion_brick_cap*512. Bit-equality-tested; list overflow folds into
+    # the fusion_overflow flag (the dense rerun disables subcell). 0 = off.
+    fusion_subcell_cap: int = 0
     # what to do when a frame's ACTIVE bricks exceed fusion_brick_cap:
     # "flag" = report it in FrameResult.fusion_overflow (callers decide);
     # "dense" = automatically re-integrate the frame with the exact dense

@@ -398,6 +398,7 @@ def process_frame(
                 cap=config.fusion_brick_cap,
                 classify_fine=config.fusion_classify_fine,
                 classify_split=config.fusion_classify_split,
+                subcell_cap=config.fusion_subcell_cap,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -425,6 +426,7 @@ def process_frame(
                 cap=config.fusion_brick_cap,
                 classify_fine=config.fusion_classify_fine,
                 classify_split=config.fusion_classify_split,
+                subcell_cap=config.fusion_subcell_cap,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery: redo the frame with the exact dense

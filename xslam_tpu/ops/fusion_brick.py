@@ -39,7 +39,18 @@ from .fusion import VolumeConfig, VolumeState, _voxel_update
 from .sampling import gather2d
 
 BRICK = 8
-MIP_LEVELS = (8, 16, 32, 64, 128)  # tile sizes in pixels
+# Footprint-window tile sizes. A ~1.15x ladder (22 levels) instead of the
+# round-1 power-of-2 ladder: the window-coverage fix bumps a misaligned
+# footprint one LEVEL up, and with 2x level steps the bumped bounds were
+# loose enough to swell the 120-frame-orbit ACTIVE max from ~2200 to 3135
+# (round-5 measurement); the dense ladder brings it back to 2410 (mean
+# 2142) at the cost of a few extra cheap depth-image reductions per frame.
+# Any covering window is conservative, so ladder choice cannot affect
+# correctness (bit-equality tests).
+MIP_LEVELS = (
+    8, 9, 10, 11, 12, 14, 16, 18, 20, 23, 26, 30, 34, 39, 45, 52, 60, 69,
+    80, 92, 106, 128,
+)  # tile sizes in pixels
 
 
 def _mip_sizes(H, W):
@@ -194,15 +205,29 @@ def classify_bricks_full(
     X, Y, Z = res
     nb = (X // cell, Y // cell, Z // cell)
     vs = cfg.voxel_size
-    H, W = depth_m.shape
 
     x_off_m = x_offset * vs
     bx0 = (jnp.arange(nb[0], dtype=jnp.float32))[:, None, None] * (cell * vs) + x_off_m
     by0 = (jnp.arange(nb[1], dtype=jnp.float32))[None, :, None] * (cell * vs)
     bz0 = (jnp.arange(nb[2], dtype=jnp.float32))[None, None, :] * (cell * vs)
-    bm = cell * vs
+    return _classify_boxes(
+        depth_m, r_v2c_v, t_v2c_v, intr, cfg, bx0, by0, bz0, cell * vs,
+        split=split,
+    )
 
-    # project all 8 brick corners: tight image-space bbox + camera-z interval
+
+def _classify_boxes(
+    depth_m, r_v2c_v, t_v2c_v, intr, cfg, bx0, by0, bz0, bm,
+    split=False, mips=None,
+):
+    """Interval classification of arbitrary axis-aligned ``bm``-edge boxes
+    (origins ``bx0/by0/bz0``, any broadcastable shapes — the grid
+    classifiers pass a full grid; the subcell fusion stage passes the
+    compacted candidates' 4^3 subcell origins). Semantics documented on
+    :func:`classify_bricks_full`."""
+    H, W = depth_m.shape
+
+    # project all 8 box corners: tight image-space bbox + camera-z interval
     R, t = r_v2c_v, t_v2c_v
     us, vs_, zs = [], [], []
     # frustum-plane maxima: a voxel can update only if z > 0 and its
@@ -311,22 +336,33 @@ def classify_bricks_full(
     # level+1 the cell is >= 2*pr, and a <= 2*pr segment anchored at the
     # cell of its own left edge always fits in 2 such cells, so one bump
     # provably suffices (re-checked by the probe).
-    mips = _depth_mips(depth_m)
+    if mips is None:
+        mips = _depth_mips(depth_m)
     sizes = mips[0]
     sizes_f = jnp.asarray(sizes, jnp.float32)
-    level = jnp.searchsorted(sizes_f, pr.reshape(-1)).reshape(pr.shape)
+    base_level = jnp.searchsorted(sizes_f, pr.reshape(-1)).reshape(pr.shape)
 
     cu = jnp.clip((u - pr).astype(jnp.int32), 0, W - 1)
     cv = jnp.clip((v - pr).astype(jnp.int32), 0, H - 1)
 
-    ts0 = jnp.asarray(sizes, jnp.int32)[jnp.clip(level, 0, len(sizes) - 1)]
-    end_u = ((cu // ts0) + 2) * ts0
-    end_v = ((cv // ts0) + 2) * ts0
-    covered = (
-        (jnp.clip(umax, 0.0, W - 1.0) < end_u.astype(jnp.float32))
-        & (jnp.clip(vmax, 0.0, H - 1.0) < end_v.astype(jnp.float32))
-    )
-    level = jnp.where(covered, level, level + 1)
+    # the SMALLEST level >= base whose ALIGNED 2x2 window actually covers
+    # the clipped footprint bbox. A wide-enough (ts >= pr) window can still
+    # be misaligned (a 2*pr footprint straddling three cells) — and with a
+    # dense (non-doubling) ladder a single +1 bump does not guarantee
+    # coverage either (the round-5 fix's one-bump proof needed ts' >= 2*pr;
+    # caught immediately by the bit-equality tests when the 22-level ladder
+    # landed). Scanning levels top-down keeps the smallest covering one:
+    # pure elementwise arithmetic, no extra gathers.
+    ucl = jnp.clip(umax, 0.0, W - 1.0)
+    vcl = jnp.clip(vmax, 0.0, H - 1.0)
+    level = jnp.full(base_level.shape, len(sizes), base_level.dtype)
+    for li in reversed(range(len(sizes))):
+        ts_l = int(sizes[li])
+        cover = (
+            (ucl < (((cu // ts_l) + 2) * ts_l))
+            & (vcl < (((cv // ts_l) + 2) * ts_l))
+        )
+        level = jnp.where(cover & (base_level <= li), li, level)
     level_ok = level < len(sizes)
     level = jnp.clip(level, 0, len(sizes) - 1)
     dmin, dmax, all_valid, cells, cu0, cv0, ts_sel = _footprint_bounds(
@@ -516,6 +552,7 @@ def integrate_brick(
     x_offset: int = 0,
     classify_fine: bool = False,
     classify_split: bool = False,
+    subcell_cap: int = 0,
 ):
     """Brick-compacted fusion. Returns (VolumeState, overflowed_flag).
 
@@ -532,7 +569,7 @@ def integrate_brick(
     vb, gb, wb, overflow = _integrate_rows_core(
         to_bricks(vol.value), to_bricks(vol.grad), to_bricks(vol.weight),
         cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
-        aux=aux,
+        aux=aux, subcell_cap=subcell_cap,
     )
     out = VolumeState(
         value=from_bricks(vb, res), grad=from_bricks(gb, res), weight=from_bricks(wb, res)
@@ -552,6 +589,7 @@ def integrate_rows(
     x_offset: int = 0,
     classify_fine: bool = False,
     classify_split: bool = False,
+    subcell_cap: int = 0,
 ):
     """Brick-compacted fusion over a persistent brick-major volume
     (:class:`xslam_tpu.ops.bricks.BrickVolume`): same math as
@@ -568,7 +606,7 @@ def integrate_rows(
     vb, gb, wb, overflow = _integrate_rows_core(
         bvol.value, bvol.grad, bvol.weight,
         cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap, x_offset, res,
-        aux=aux,
+        aux=aux, subcell_cap=subcell_cap,
     )
     return BrickVolume(value=vb, grad=gb, weight=wb), overflow
 
@@ -597,7 +635,7 @@ def _classify(
 
 def _integrate_rows_core(
     vb, gb, wb, cls, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold, cap,
-    x_offset, res, aux=None,
+    x_offset, res, aux=None, subcell_cap=0,
 ):
     """Shared fusion core over brick-major rows: FAR pass (elementwise, no
     gathers) + ACTIVE pass (compact, row-gather, exact update, row-scatter).
@@ -684,9 +722,104 @@ def _integrate_rows_core(
     gy = ((by * BRICK).astype(jnp.float32)[:, None] + ly[None, :] + 0.5) * vs
     gz = ((bz * BRICK).astype(jnp.float32)[:, None] + lz[None, :] + 0.5) * vs
 
-    v_new, g_new, w_new_rows = _voxel_update(
-        gx, gy, gz, v_rows, g_rows, w_rows, depth_m, r_v2c, t_v2c, intr, cfg, bi_threshold
-    )
+    if subcell_cap == 0:
+        v_new, g_new, w_new_rows = _voxel_update(
+            gx, gy, gz, v_rows, g_rows, w_rows, depth_m, r_v2c, t_v2c, intr,
+            cfg, bi_threshold,
+        )
+    else:
+        # ---- two-stage subcell fusion -------------------------------------
+        # Re-classify the compacted candidates at 4^3-subcell granularity
+        # (the interval machinery on (cap, 8) box origins — 4 window row
+        # gathers per subcell, ~82k at cap 2560 vs the 1M a full-grid
+        # subcell classify would cost): far/none subcells resolve
+        # ELEMENTWISE on the gathered rows, and only ACTIVE subcells issue
+        # depth gathers, compacted into 8 per-subcell-id lists with STATIC
+        # lane patterns (64 voxels each). Depth-gather bill falls from
+        # cap*512 to 8*subcell_cap*64 + the classification fetches.
+        sxa = (np.arange(8) // 4).astype(np.float32) * 4.0
+        sya = ((np.arange(8) // 2) % 2).astype(np.float32) * 4.0
+        sza = (np.arange(8) % 2).astype(np.float32) * 4.0
+        box_x = ((bx * BRICK).astype(jnp.float32)[:, None] + sxa[None] + x_offset) * vs
+        box_y = ((by * BRICK).astype(jnp.float32)[:, None] + sya[None]) * vs
+        box_z = ((bz * BRICK).astype(jnp.float32)[:, None] + sza[None]) * vs
+        scls = _classify_boxes(
+            depth_m, r_v2c.v, t_v2c.v, intr, cfg, box_x, box_y, box_z,
+            4.0 * vs,
+        ).cls  # (cap, 8)
+
+        # lane -> subcell id (static): l = lx*64 + ly*8 + lz
+        l_arr = np.arange(BRICK**3)
+        sub_of_lane = (
+            (l_arr // 64 // 4) * 4 + ((l_arr // 8) % 8 // 4) * 2 + (l_arr % 8 // 4)
+        ).astype(np.int64)
+        scls_vox = scls[:, sub_of_lane]  # (cap, 512), static fancy index
+
+        # far-ish subcells: elementwise far update under the exact per-
+        # voxel gate (identical math to the global far pass above)
+        Rv2, tv2 = r_v2c.v, t_v2c.v
+        rcx = Rv2[0, 0] * gx + Rv2[0, 1] * gy + Rv2[0, 2] * gz + tv2[0]
+        rcy = Rv2[1, 0] * gx + Rv2[1, 1] * gy + Rv2[1, 2] * gz + tv2[1]
+        rcz = Rv2[2, 0] * gx + Rv2[2, 1] * gy + Rv2[2, 2] * gz + tv2[2]
+        r_invz = 1.0 / rcz
+        r_iu = jnp.floor(rcx * intr.fx * r_invz + intr.cx - 0.5)
+        r_iv = jnp.floor(rcy * intr.fy * r_invz + intr.cy - 0.5)
+        r_gate = (
+            (r_invz >= 0) & (r_iu > 1) & (r_iu < W - 1)
+            & (r_iv > 1) & (r_iv < H - 1)
+        )
+        far_v = ((scls_vox == 1) | (scls_vox == 3)) & r_gate
+        v_new = jnp.where(far_v, (v_rows * w_rows + 1.0) / (w_rows + 1.0), v_rows)
+        g_new = jnp.where(far_v, (g_rows * w_rows) / (w_rows + 1.0), g_rows)
+        w_new_rows = jnp.where(
+            far_v, jnp.minimum(w_rows + 1.0, float(cfg.max_weight)), w_rows
+        )
+
+        # ACTIVE subcells: per-subcell-id compaction with static lanes
+        lx4 = (np.arange(64) // 16).astype(np.float32)
+        ly4 = ((np.arange(64) // 4) % 4).astype(np.float32)
+        lz4 = (np.arange(64) % 4).astype(np.float32)
+        for s in range(8):
+            lanes = np.nonzero(sub_of_lane == s)[0]  # static (64,)
+            mask_s = valid_row & (scls[:, s] == 2)
+            pos_s = jnp.cumsum(mask_s.astype(jnp.int32)) - 1
+            overflow = overflow | (pos_s[-1] + 1 > subcell_cap)
+            slot_s = jnp.where(mask_s & (pos_s < subcell_cap), pos_s, subcell_cap)
+            rsel = jnp.full((subcell_cap + 1,), cap, jnp.int32).at[slot_s].set(
+                jnp.arange(cap, dtype=jnp.int32)
+            )[:subcell_cap]
+            valid_s = rsel < cap
+            rsel_c = jnp.minimum(rsel, cap - 1)
+
+            vv = v_new[rsel_c][:, lanes]
+            gg = g_new[rsel_c][:, lanes]
+            ww = w_new_rows[rsel_c][:, lanes]
+            bxs = bx[rsel_c].astype(jnp.float32) * BRICK + sxa[s]
+            bys = by[rsel_c].astype(jnp.float32) * BRICK + sya[s]
+            bzs = bz[rsel_c].astype(jnp.float32) * BRICK + sza[s]
+            cgx = (bxs[:, None] + lx4[None] + 0.5 + x_offset) * vs
+            cgy = (bys[:, None] + ly4[None] + 0.5) * vs
+            cgz = (bzs[:, None] + lz4[None] + 0.5) * vs
+            v2, g2, w2 = _voxel_update(
+                cgx, cgy, cgz, vv, gg, ww, depth_m, r_v2c, t_v2c, intr, cfg,
+                bi_threshold,
+            )
+            keep_s = valid_s[:, None]
+            v2 = jnp.where(keep_s, v2, vv)
+            g2 = jnp.where(keep_s, g2, gg)
+            w2 = jnp.where(keep_s, w2, ww)
+            rs = jnp.where(valid_s, rsel_c, cap)  # cap = dropped row
+            pad_row = jnp.zeros((1, BRICK**3), jnp.float32)
+            v_new = jnp.concatenate([v_new, pad_row]).at[
+                rs[:, None], lanes[None, :]
+            ].set(v2)[:cap]
+            g_new = jnp.concatenate([g_new, pad_row]).at[
+                rs[:, None], lanes[None, :]
+            ].set(g2)[:cap]
+            w_new_rows = jnp.concatenate([w_new_rows, pad_row]).at[
+                rs[:, None], lanes[None, :]
+            ].set(w2)[:cap]
+
     keep = valid_row[:, None]
     v_new = jnp.where(keep, v_new, v_rows)
     g_new = jnp.where(keep, g_new, g_rows)

@@ -291,6 +291,7 @@ def _process_frame_sharded(
                 config.bi_interpolate_threshold, mesh, brick_cap=cap,
                 classify_fine=config.fusion_classify_fine,
                 classify_split=config.fusion_classify_split,
+                subcell_cap=config.fusion_subcell_cap,
             )
             if config.fusion_overflow == "dense":
                 # overflow recovery without leaving the brick layout: rerun
@@ -321,6 +322,7 @@ def _process_frame_sharded(
                 brick_cap=max(256, config.fusion_brick_cap // n),
                 classify_fine=config.fusion_classify_fine,
                 classify_split=config.fusion_classify_split,
+                subcell_cap=config.fusion_subcell_cap,
             )
 
     volume, fusion_overflow = jax.lax.cond(

@@ -45,6 +45,7 @@ def sharded_integrate(
     vol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
     fusion_mode: str = "dense", brick_cap: int = 2048,
     classify_fine: bool = False, classify_split: bool = False,
+    subcell_cap: int = 0,
 ):
     """Per-slab fusion; the only communication is the psum'd overflow flag.
     ``fusion_mode="brick"`` runs the brick-compacted variant per shard (each
@@ -62,6 +63,7 @@ def sharded_integrate(
                 bi_threshold=bi_threshold, cap=brick_cap,
                 x_offset=idx * local_x, classify_fine=classify_fine,
                 classify_split=classify_split,
+                subcell_cap=subcell_cap,
             )
         else:
             out = fusion.integrate(
@@ -232,6 +234,7 @@ def _brick_row_specs():
 def sharded_integrate_rows(
     bvol, depth_m, r_v2c, t_v2c, intr, vol_cfg, bi_threshold, mesh,
     brick_cap: int = 2048, classify_fine: bool = False, classify_split: bool = False,
+    subcell_cap: int = 0,
 ):
     """Per-slab brick fusion over a row-sharded BrickVolume (rows are
     bx-major, so a contiguous row range is an X-slab). Communication: the
@@ -252,6 +255,7 @@ def sharded_integrate_rows(
             bi_threshold=bi_threshold, cap=brick_cap,
             x_offset=idx * local_x, classify_fine=classify_fine,
                 classify_split=classify_split,
+                subcell_cap=subcell_cap,
         )
         overflow = jax.lax.psum(overflow.astype(jnp.int32), SPACE_AXIS) > 0
         return out, overflow
