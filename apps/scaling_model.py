@@ -51,25 +51,26 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 
-# ---- measured single-chip inputs (TPU v5e, BASELINE.md round 4) ----------
-# device-time stage budget at the bench config (temporal march + pair taps),
-# submit-only dispatch-loop methodology (apps/profile_stages.py — the
-# round-3 chained-scan numbers under-measured fusion by ~23 ms); ms/frame
+# ---- measured single-chip inputs (TPU v5e, BASELINE.md round 5) ----------
+# device-time stage budget at the FINAL round-5 config (temporal march,
+# refine reuse, 22-level mip ladder, cap 2816); submit-only dispatch-loop
+# stage profile + same-session A/B differences (refine reuse = the
+# measured 13.1 ms secant2 stage minus the measured -6.2 ms whole-frame
+# delta); ms/frame, summing to the 44.16 ms bench frame
 MEASURED = {
     # shardable: gather-/compute-bound stages whose per-chip work falls 1/N
     # (pixel-column-sharded march/refine, brick-row-sharded fusion,
     # column-sharded ICP with psum'd 6x7 systems)
     "shard_ms": {
-        "march": 8.3,  # temporal (depth-anchored window repair)
-        "refine": 13.5,  # pair taps
-        "icp": 2.5,
-        # brick rows, cap 2560 (measured 25.8 at cap 6144 = the 8.5 ns/
-        # gather model within 4%; scaled by cap)
-        "fusion": 11.1,
-        "misc": 2.1,  # pair table + skip rows + camera rays
+        "march": 8.2,  # temporal (depth-anchored window repair, window 12)
+        "refine": 6.9,  # reuse: march-sample secant + 1 dual trilinear
+        "icp": 2.9,
+        # brick rows, cap 2816 + the 22-level mip ladder/window work
+        "fusion": 14.6,
+        "misc": 8.3,  # pair table + skip rows + camera rays + map resizes
     },
     # replicated: every chip does the full-frame preprocessing
-    "repl_ms": {"preprocess": 1.0},
+    "repl_ms": {"preprocess": 0.8},
     # true host/dispatch floor: ~1.5 ms/dispatch + ~1 ms for the 201 MB
     # state (apps/probe_dispatch_overhead.py — the round-3 '27.7 ms host
     # gap' was mis-measured device work, BASELINE.md round 4)
