@@ -451,6 +451,53 @@ def main():
         scan_n=scan_n, reps=reps,
     )
 
+    # round-5 bench default: temporal march (bracketing samples) + sample-
+    # reusing refine (one pair-tap dual trilinear Newton polish) + screen
+    # normals + resizes — march+refine as the engine composes them
+    def temporal_reuse_fn(vol, t_anchor, rs, rd, pair_vg):
+        from xslam_tpu.csfd import vec3
+
+        read = raycast_bricks._value_reader(vol.value, res)
+        hit, f0, f1 = raycast.march_temporal(
+            None, t_anchor, rs, rd, vol_cfg,
+            window=config.raycast_temporal_window, read_fn=read, shape=res,
+            return_samples=True,
+        )
+        r_v2w = lift(jnp.asarray(v2w[:3, :3]))
+        t_v2w = lift(jnp.asarray(v2w[:3, 3]))
+        accept = hit.t_found < jnp.minimum(hit.t_dead, raycast.INF_T)
+
+        def trilin_at(p):
+            return raycast_bricks.trilinear_pair_bricks(
+                pair_vg, res, vec3.comp(p, 0), vec3.comp(p, 1),
+                vec3.comp(p, 2), vol_cfg.voxel_size,
+            )
+
+        vmap, nmap, v_ok, n_ok = raycast.refine_from_samples(
+            trilin_at, rs, rd, hit.t_found, f0, f1, accept,
+            r_v2w, t_v2w, vol_cfg,
+        )
+        vmap, nmap = raycast.finalize_maps(vmap, nmap, v_ok, n_ok)
+        nmap = raycast.screen_normals(vmap)
+        vmaps, nmaps = [vmap], [nmap]
+        for i in range(1, levels):
+            vmaps.append(CSFD(preprocess.resize_vmap(vmaps[-1].v),
+                              preprocess.resize_vmap(vmaps[-1].g)))
+            from xslam_tpu.models.kinfu import _resize_nmap_dual
+            nmaps.append(_resize_nmap_dual(nmaps[-1]))
+        return tuple(vmaps), tuple(nmaps)
+
+    temporal_reuse_stage = jax.jit(temporal_reuse_fn)
+    t, _ = lap(
+        temporal_reuse_stage, vol, anchor, ray_start, ray_dir, pair_vg,
+        reps=reps,
+    )
+    results["march+refine_reuse (bench r5)"] = t
+    dev["march+refine_reuse (bench r5)"] = device_time(
+        lambda vg, a, rs, rd: temporal_reuse_stage(vol, a, rs, rd, vg),
+        pair_vg, anchor, ray_start, ray_dir, scan_n=scan_n, reps=reps,
+    )
+
     w2c_np = np.linalg.inv(np.asarray(ds.get_pose(frame + 1))).astype(np.float32)
     t, _ = lap(
         icp_stage, jnp.asarray(w2c_np),
