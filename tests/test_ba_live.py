@@ -155,3 +155,53 @@ def test_relocalization_records_loop_closure():
     # and the pose-graph refiner consumes it without diverging
     refined = eng.refine_keyframes(iters=5)
     assert np.isfinite(refined).all()
+
+
+def test_ba_observation_budget_coarsens_stride():
+    """The refine_keyframes_ba device-memory guard must coarsen the anchor
+    stride until the observation count fits max_obs (the ICL_loop revisit
+    sequence OOM'd a 16 GB chip before this guard), and still return a
+    refined trajectory."""
+    import numpy as np
+
+    from tests.helpers import SMALL_INTR, small_config, small_scene
+    from xslam_tpu.geometry import se3
+    from xslam_tpu.io.synthetic import render_depth
+    from xslam_tpu.models.ba import build_ba_problem
+    from xslam_tpu.models.recovery import Keyframe, RecoveringEngine
+
+    scene = small_scene()
+    cfg = small_config()
+    eng = RecoveringEngine.__new__(RecoveringEngine)
+    eng.config = cfg
+    eng.intr = SMALL_INTR
+    eng.loop_edges = []
+    eng.keyframes = []
+    poses = []
+    for k in range(5):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.05 * k, 0.0, 0.0]
+        depth = np.asarray(render_depth(scene, c2w, SMALL_INTR)).astype(np.uint16)
+        eng.keyframes.append(Keyframe(k, c2w, depth))
+        poses.append(c2w)
+
+    # at stride 4 this fixture exceeds a tiny budget; the guard must coarsen
+    n4, _ = build_ba_problem(
+        poses, [k.depth_u16 for k in eng.keyframes], SMALL_INTR, stride=4
+    )
+    assert int(n4.frame_idx.shape[0]) > 2000
+
+    refined = eng.refine_keyframes_ba(stride=4, rounds=1, max_obs=2000)
+    assert refined.shape == (5, 4, 4)
+    # the guard's coarsened problem must actually fit the budget
+    n_fit = None
+    s = 4
+    while True:
+        p, _ = build_ba_problem(
+            poses, [k.depth_u16 for k in eng.keyframes], SMALL_INTR, stride=s
+        )
+        if p is None or int(p.frame_idx.shape[0]) <= 2000:
+            n_fit = p
+            break
+        s *= 2
+    assert n_fit is None or int(n_fit.frame_idx.shape[0]) <= 2000

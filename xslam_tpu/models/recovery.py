@@ -452,6 +452,7 @@ class RecoveringEngine:
         iters: int = 4,
         cg_iters: int = 30,
         rounds: int = 2,
+        max_obs: int = 200_000,
     ):
         """Depth-anchored Schur-complement BA over the keyframes' OWN sensor
         data (the live-data backend): anchors are back-projected keyframe
@@ -481,9 +482,8 @@ class RecoveringEngine:
         # device-memory guard: a strongly-revisiting trajectory multiplies
         # the multi-view observation count (the ICL_loop sequence OOM'd the
         # 16 GB chip at stride 8) — coarsen the anchor stride until the
-        # problem fits a fixed observation budget. The budget is per-round
-        # sticky via the bucket machinery below.
-        max_obs = 200_000
+        # problem fits the ``max_obs`` observation budget. The budget is
+        # per-round sticky via the bucket machinery below.
         for _ in range(rounds):
             problem = None
             while True:
